@@ -1,0 +1,49 @@
+package graft
+
+import graft.plans.CrawlDriver
+import graft.sources.SynthWeb
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry: run (or resume) a deterministic crawl and print per-round
+  * metrics as JSON lines. Doubles as the scaling-bench harness: run the same
+  * workDir-less job at two parallelism levels and compare URLs/sec
+  * (BASELINE.md measurement protocol).
+  *
+  * Usage: CrawlMain <workDir> <rounds> [cores] [numHosts] [pagesPerHost] [seeds]
+  */
+object CrawlMain {
+  def main(args: Array[String]): Unit = {
+    val workDir = if (args.length > 0) args(0) else "/tmp/graft_crawl"
+    val rounds = if (args.length > 1) args(1).toInt else 5
+    val cores = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val numHosts = if (args.length > 3) args(3).toInt else 200
+    val pagesPerHost = if (args.length > 4) args(4).toInt else 64
+    val nSeeds = if (args.length > 5) args(5).toInt else 32
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-crawl")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = CrawlConfig(numHosts = numHosts, pagesPerHost = pagesPerHost,
+      corpusSize = 512, imageSize = 16, numBuckets = math.max(cores.toInt * 2, 16))
+    val web = new SynthWeb(cfg)
+    val driver = new CrawlDriver(spark, cfg, workDir)
+    val t0 = System.nanoTime()
+    val metrics = driver.run(web.seeds(nSeeds), maxRounds = rounds, maxUrls = Long.MaxValue)
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    metrics.foreach { m =>
+      println(s"""{"round":${m.round},"dequeued":${m.dequeued},"fetched_ok":${m.fetched_ok},""" +
+        s""""fetch_errors":${m.fetch_errors},"links_admitted":${m.links_admitted},""" +
+        s""""hosts_new":${m.hosts_new},"wall_ms":${m.wall_ms}}""")
+    }
+    val urls = metrics.map(_.dequeued).sum
+    println(f"""{"total_urls":$urls,"wall_sec":$wallSec%.2f,"urls_per_sec":${urls / wallSec}%.1f,"cores":"$cores"}""")
+    spark.stop()
+  }
+}

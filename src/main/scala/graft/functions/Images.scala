@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Deterministic image synthesis + real encode/decode/phash/PSNR using only
+  * the JDK's ImageIO (PNG lossless, JPEG lossy) — no external image libs.
+  *
+  * This realizes FIXTURES.md §B1: procedural gradient+noise images whose
+  * decoded pixels satisfy the input_hint invariant (PSNR ≥ 40 dB for jpeg,
+  * exact for png), and a 64-bit DCT-sign perceptual hash for near-dup
+  * dedupe. The reference crawler has no image handling (graft requirement,
+  * SURVEY.md preamble); generation is seeded so fetches are bit-reproducible.
+  */
+object Images {
+
+  /** Deterministic grayscale pixel field: smooth 2-D gradient + low-amplitude
+    * seeded noise. Smoothness keeps JPEG PSNR comfortably above 40 dB while
+    * the noise makes each image unique (phash-distinguishable).
+    */
+  def synthPixels(seed: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    val s1 = Hashing.splitmix64(seed)
+    val s2 = Hashing.splitmix64(s1)
+    // per-image gradient direction / phase from the seed
+    val ax = 1 + (Hashing.pmod(s1, 5L)).toInt
+    val ay = 1 + (Hashing.pmod(s2, 5L)).toInt
+    val phase = Hashing.pmod(s1 >>> 8, 256L).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (phase + (x * ax * 160) / w + (y * ay * 160) / h) % 256
+        // +-4 gray-level noise, deterministic per (seed,x,y)
+        val n = Hashing.pmod(Hashing.splitmix64(seed ^ (x.toLong << 32) ^ y.toLong), 9L).toInt - 4
+        val v = math.max(0, math.min(255, base + n))
+        px(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < px.length) { raster.setSample(i % w, i / w, 0, px(i)); i += 1 }
+    img
+  }
+
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(toImage(px, w, h), "png", out)
+    out.toByteArray
+  }
+
+  def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.95f): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    try writer.write(null, new IIOImage(toImage(px, w, h), null, null), param)
+    finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload back to grayscale pixels. */
+  def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val bands = raster.getNumBands
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // raw raster samples (getRGB would apply gray->sRGB conversion)
+        px(y * w + x) =
+          if (bands == 1) raster.getSample(x, y, 0)
+          else {
+            val r = raster.getSample(x, y, 0)
+            val g = raster.getSample(x, y, 1)
+            val b = raster.getSample(x, y, 2)
+            (r * 299 + g * 587 + b * 114 + 500) / 1000
+          }
+        x += 1
+      }
+      y += 1
+    }
+    (px, w, h)
+  }
+
+  /** Peak signal-to-noise ratio in dB between two equal-size pixel fields.
+    * Infinity for identical images. Input-hint invariant: >= 40 dB for jpeg.
+    */
+  def psnr(a: Array[Int], b: Array[Int]): Double = {
+    require(a.length == b.length, "psnr: size mismatch")
+    var se = 0.0
+    var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toDouble; se += d * d; i += 1 }
+    if (se == 0.0) Double.PositiveInfinity
+    else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+
+  /** 64-bit perceptual hash: resample to 32x32, 8x8 DCT low-frequency block,
+    * sign-vs-median bits (classic pHash construction, public algorithm).
+    */
+  def phash64(px: Array[Int], w: Int, h: Int): Long = {
+    val N = 32
+    // area-average resample to 32x32
+    val small = new Array[Double](N * N)
+    var sy = 0
+    while (sy < N) {
+      var sx = 0
+      while (sx < N) {
+        val x0 = sx * w / N; val x1 = math.max(x0 + 1, (sx + 1) * w / N)
+        val y0 = sy * h / N; val y1 = math.max(y0 + 1, (sy + 1) * h / N)
+        var s = 0.0; var c = 0
+        var y = y0
+        while (y < y1) { var x = x0; while (x < x1) { s += px(y * w + x); c += 1; x += 1 }; y += 1 }
+        small(sy * N + sx) = s / c
+        sx += 1
+      }
+      sy += 1
+    }
+    // 8x8 top-left 2-D DCT-II coefficients
+    val coeffs = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < N) {
+          var x = 0
+          while (x < N) {
+            s += small(y * N + x) *
+              math.cos((2 * x + 1) * u * math.Pi / (2 * N)) *
+              math.cos((2 * y + 1) * v * math.Pi / (2 * N))
+            x += 1
+          }
+          y += 1
+        }
+        coeffs(v * 8 + u) = s
+        v += 1
+      }
+      u += 1
+    }
+    // median of AC coefficients (skip DC at 0)
+    val ac = coeffs.drop(1).sorted
+    val median = (ac(30) + ac(31)) / 2.0
+    var bits = 0L
+    var i = 1
+    while (i < 64) { if (coeffs(i) > median) bits |= (1L << (i - 1)); i += 1 }
+    bits
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.CrawlConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The fetch stage (SURVEY.md §2.6), grafted: "fetching" a URL is a
+  * deterministic join against the seeded image+caption corpus — no network,
+  * bit-reproducible (≙ the reference's graph-server load protocol,
+  * `/root/reference/README.md:36-41`; real HTTP lives in
+  * `workers/fetching_thread.clj:46-132` and would slot in as a `mapPartitions`
+  * stage behind the same column contract).
+  *
+  * Everything here is built-in Catalyst expressions (whole-stage codegen):
+  * status simulation via `xxhash64`, payload lookup via an equi-join on the
+  * corpus index. The corpus side is broadcast when small; at 100 TB corpus
+  * scale the same plan degrades gracefully to a shuffle join on `pick`, which
+  * AQE can re-plan.
+  */
+object Fetch {
+
+  /** Per-error retry policy (≙ `/root/reference/src/clj/ramper/constants.clj:
+    * 6-43`: per-exception wait + max retries + killer set). */
+  final case class ErrorPolicy(waitMs: Long, maxRetries: Int, killer: Boolean)
+  val errorPolicies: Map[String, ErrorPolicy] = Map(
+    "connect_timeout" -> ErrorPolicy(8000L, 3, false),
+    "unknown_host"    -> ErrorPolicy(60000L, 2, true))
+
+  /** @param dequeued scheduler output: frontier cols + (ip, bucket, broken, crawl_delay_ms)
+    * @param corpusWithIdx corpus table + `corpus_idx` long column
+    * @return dequeued cols + (status, error, fetch_ts, image payload cols; payload
+    *         null unless status=200)
+    */
+  def run(dequeued: DataFrame, corpusWithIdx: DataFrame,
+          cfg: CrawlConfig, roundTs: Long): DataFrame = {
+    val status = when(col("broken"), lit(-1))
+      .otherwise(when(pmod(xxhash64(col("url_hash")), lit(50)) === 0, lit(404))
+        .otherwise(lit(200)))
+    val attempted = dequeued
+      .withColumn("status", status)
+      .withColumn("error",
+        when(col("status") === -1, lit("connect_timeout")).otherwise(lit(null).cast("string")))
+      .withColumn("fetch_ts", lit(roundTs))
+      .withColumn("pick",
+        when(col("status") === 200, pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))
+          .otherwise(lit(null).cast("long")))
+    val corpusSide =
+      if (cfg.corpusSize <= (1 << 20)) broadcast(corpusWithIdx) else corpusWithIdx
+    attempted.join(corpusSide, attempted("pick") === corpusSide("corpus_idx"), "left")
+      .drop("pick", "corpus_idx")
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.CrawlConfig
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Politeness scheduling — the workbench, re-expressed declaratively
+  * (SURVEY.md §2.5).
+  *
+  * The reference keeps a priority queue of per-IP workbench entries, each a
+  * priority queue of per-host visit states, and pops the earliest-available
+  * visit state under two politeness clocks — the IP's and the host's
+  * (`/root/reference/src/clj/ramper/frontier/workbench.clj:84-91`,
+  * `workbench_entry.clj:55-59` takes the max of both next-fetch times).
+  * In a barrier-synchronized round all that CAS machinery reduces to:
+  *
+  *   1. eligibility   — `host.next_fetch <= ts && ip.next_fetch <= ts`
+  *   2. one host/IP   — rank hosts within IP, keep rank 1  (≙ "one visit
+  *                      state per entry is in the todo queue at a time")
+  *   3. keepalive     — first `b` URLs of that host in FIFO order
+  *                      (`row_number <= b` over seq_no ≙ fetching_thread.clj:
+  *                      202-207 draining one visit state for keepalive-time)
+  *
+  * Scale notes: the host-rank window shuffles by `ip`, the FIFO window by
+  * `host` — both natural keys with bounded group sizes (hosts per IP, queued
+  * URLs per host are capped). Hot-host skew is defused downstream by the
+  * salted `bucket` column used to repartition the fetch stage.
+  */
+object Scheduler {
+
+  /** Add the salted politeness/partitioning bucket for a host column.
+    * Salting: hot hosts (detected by config) could map to several salts; the
+    * base scheme hashes host uniformly across `numBuckets`. */
+  def bucketCol(cfg: CrawlConfig) =
+    pmod(xxhash64(col("host")), lit(cfg.numBuckets)).cast("int")
+
+  /** Pick this round's fetch list.
+    *
+    * @param frontier  (url, url_hash, host, path_query, seq_no, priority, round_added)
+    * @param hostState (host, ip, bucket, next_fetch, ...status...)
+    * @param ipState   (ip, next_fetch)
+    * @return frontier columns + (ip, bucket, crawl_delay_ms) of the chosen rows
+    */
+  def dequeue(frontier: DataFrame, hostState: DataFrame, ipState: DataFrame,
+              roundTs: Long, cfg: CrawlConfig): DataFrame = {
+    val liveHosts = hostState
+      .filter(col("status") === "live" && col("next_fetch") <= lit(roundTs))
+      .select(col("host"), col("ip"), col("bucket"), col("broken"),
+        col("crawl_delay_ms"), col("next_fetch").as("host_next_fetch"))
+    val readyIps = ipState
+      .filter(col("next_fetch") <= lit(roundTs))
+      .select(col("ip"))
+    // hosts whose BOTH clocks have expired (workbench_entry.clj:55-59)
+    val eligibleHosts = liveHosts.join(readyIps, Seq("ip"))
+    // one host per IP per round — deterministic total tie-break
+    val hostRank = Window.partitionBy(col("ip"))
+      .orderBy(col("host_next_fetch"), col("host"))
+    val chosenHosts = eligibleHosts
+      .withColumn("host_rn", row_number().over(hostRank))
+      .filter(col("host_rn") === 1)
+      .drop("host_rn", "host_next_fetch")
+    // keepalive batch: first b queued URLs of each chosen host, FIFO
+    val fifo = Window.partitionBy(col("host")).orderBy(col("seq_no"))
+    frontier
+      .join(chosenHosts, Seq("host"))
+      .withColumn("rn", row_number().over(fifo))
+      .filter(col("rn") <= lit(cfg.keepAliveBatch))
+      .drop("rn")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The URL sieve, Spark-first (SURVEY.md §2.2).
+  *
+  * Semantics to preserve (`/root/reference/src/clj/ramper/sieve.clj:7-12`):
+  * "every key enqueued is dequeued once and once only". The reference
+  * implements this with a Mercator sieve — radix sort + two-pointer merge
+  * against a sorted on-disk hash store (`mercator_sieve.clj:45-142`). The
+  * algorithmic core IS a sort-merge anti-join, which Catalyst plans natively;
+  * the in-bucket duplicate kill is an in-batch dedup; the LRU front-cache
+  * (`frontier.clj:67-70`) is subsumed by exact in-batch dedup.
+  *
+  * Scale path (north rule): an approximate membership pre-filter (cuckoo,
+  * bloom fallback) built per-partition over the seen table and broadcast,
+  * so at 10^10 seen URLs the expensive exact anti-join shuffle only touches
+  * the (tiny) fraction of candidates that *might* be duplicates; candidates
+  * that miss the filter are definitely new and bypass the shuffle entirely.
+  */
+object SeenSet {
+
+  /** In-batch dedup on the 64-bit key — keep one row per url_hash
+    * (all rows of a hash carry the same canonical url). ≙ D5 + the
+    * in-bucket invalidation of mercator_sieve.clj:63-113. */
+  def dedupeBatch(candidates: DataFrame): DataFrame =
+    candidates.dropDuplicates("url_hash")
+
+  /** Exact anti-join against the seen table: survivors are new-once-ever. */
+  def antiJoin(candidates: DataFrame, seen: DataFrame): DataFrame =
+    candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+
+  /** Build a broadcastable cuckoo pre-filter from the seen table: one filter
+    * per partition, merged. Falls back to Spark's built-in BloomFilter sketch
+    * when the merged filter overflows. Returns a Column predicate
+    * `mightContain(url_hash)`.
+    */
+  def prefilterPredicate(seen: DataFrame, expectedKeys: Long, fpp: Double): Column = {
+    val spark = seen.sparkSession
+    val capacity = math.max(1024L, expectedKeys)
+    val partial = seen.select(col("url_hash")).rdd
+      .mapPartitions { it =>
+        val f = CuckooFilter.forCapacity(capacity)
+        it.foreach(r => f.add(r.getLong(0)))
+        Iterator.single(f)
+      }
+    val merged = partial.fold(CuckooFilter.forCapacity(capacity)) { (a, b) => a.mergeFrom(b); a }
+    if (!merged.overflowed) {
+      val bc = spark.sparkContext.broadcast(merged)
+      val mightContain = udf((h: Long) => bc.value.mightContain(h))
+      mightContain(col("url_hash"))
+    } else {
+      // bloom fallback: Spark's sketch aggregates natively over the Dataset
+      val bloom = seen.stat.bloomFilter("url_hash", math.max(capacity, merged.size * 2), fpp)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+      mightContain(col("url_hash"))
+    }
+  }
+
+  /** Full sieve pass: in-batch dedup, then (optionally) split candidates by
+    * the approximate filter — "definitely new" rows skip the shuffle; only
+    * "maybe seen" rows pay the exact anti-join.
+    */
+  def sieve(candidates: DataFrame, seen: DataFrame,
+            usePrefilter: Boolean, expectedSeen: Long, fpp: Double): DataFrame = {
+    val batch = dedupeBatch(candidates)
+    if (!usePrefilter) antiJoin(batch, seen)
+    else {
+      val maybe = prefilterPredicate(seen, expectedSeen, fpp)
+      val definitelyNew = batch.filter(!maybe)
+      val needExact = batch.filter(maybe)
+      definitelyNew.unionByName(antiJoin(needExact, seen))
+    }
+  }
+}

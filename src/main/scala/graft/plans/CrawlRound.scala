@@ -1,0 +1,207 @@
+package graft.plans
+
+import graft._
+import graft.functions.{Hashing, UrlNorm}
+import graft.operators.{Fetch, Scheduler, SeenSet}
+import graft.sources.SynthWeb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Engine state between rounds — the persisted tables that replace the
+  * reference's in-memory Frontier record
+  * (`/root/reference/src/clj/ramper/frontier.clj:187-218`). */
+final case class CrawlState(
+    frontier: DataFrame,  // FrontierRow
+    seen: DataFrame,      // SeenRow
+    hostState: DataFrame, // HostState
+    ipState: DataFrame)   // IpState
+
+/** Lazy outputs of one round; the driver materializes + commits them. */
+final case class RoundResult(
+    frontier: DataFrame, seenDelta: DataFrame, hostState: DataFrame,
+    ipState: DataFrame, pagesDelta: DataFrame,
+    cached: Seq[DataFrame]) // intermediates to unpersist after commit
+
+/** One crawl round as a single deterministic Dataset pipeline (north rule):
+  * frontier dequeue by politeness window rank → fetch (corpus join) → link
+  * extraction → robots + per-host-cap admission → sieve anti-join → state
+  * deltas. This is the batched re-expression of the reference's entire
+  * thread pipeline (SURVEY.md §2 diagram; §3.2 lifecycle): every arrow that
+  * was a shared queue between threads is a pipeline edge here, and all
+  * timing-emergent behavior is replaced by total-order determinism —
+  * logical clock `ts = round * tick`, `xxhash64` tie-breaks everywhere.
+  */
+object CrawlRound {
+
+  /** Canonicalize+split a batch of raw URLs into (url, host, path_query) —
+    * X2 of SURVEY.md (≙ workers/parsing_thread.clj:16-20). */
+  private def linkStructsUdf(web: SynthWeb) = udf { (base: String) =>
+    web.links(base).flatMap(h => UrlNorm.resolve(base, h)).flatMap { cu =>
+      UrlNorm.parse(cu).map(p => (cu, p.host, p.pathQuery))
+    }
+  }
+
+  /** Build HostState rows for newly discovered hosts: synthetic DNS resolve
+    * (≙ workers/dns_resolving.clj:26-68) + robots "fetch" (≙ util/robots.clj)
+    * — both pure functions of the host name in the synthetic web. */
+  private def discoverHosts(spark: SparkSession, hosts: DataFrame,
+                            web: SynthWeb, cfg: CrawlConfig): DataFrame = {
+    import spark.implicits._
+    hosts.select("host").as[String].map { h =>
+      val r = web.robots(h)
+      HostState(
+        host = h,
+        ip = web.resolveIp(h),
+        bucket = Hashing.pmod(Hashing.xxhash64(h), cfg.numBuckets.toLong).toInt,
+        broken = web.isBrokenHost(web.hostIndex(h)),
+        next_fetch = 0L,
+        crawl_delay_ms = r.crawl_delay_ms,
+        disallow = r.disallow,
+        retries = 0,
+        last_error = "",
+        status = "live",
+        enqueued_count = 0L)
+    }.toDF()
+  }
+
+  /** Bootstrap state from a seed list (≙ frontier.clj:193-202: seeds enter
+    * the sieve and the url cache). Returned as "round 0" state. */
+  def bootstrap(spark: SparkSession, web: SynthWeb, cfg: CrawlConfig,
+                seedUrls: Seq[String]): CrawlState = {
+    import spark.implicits._
+    val canon = seedUrls.flatMap(UrlNorm.canonicalize).distinct
+    val seeds = canon.flatMap { cu =>
+      UrlNorm.parse(cu).map(p => (cu, UrlNorm.urlHash(cu), p.host, p.pathQuery))
+    }.toDF("url", "url_hash", "host", "path_query")
+    val fifo = Window.partitionBy(col("host")).orderBy(col("url_hash"))
+    val hostState = discoverHosts(spark, seeds.select("host").distinct(), web, cfg)
+    // seeds obey robots too (the reference leaves this as a TODO —
+    // fetching_thread.clj:40-41; the north rule makes it a hard filter)
+    val frontier = seeds
+      .join(broadcast(hostState.select("host", "disallow")), Seq("host"))
+      .filter(expr("not exists(disallow, d -> startswith(path_query, d))"))
+      .drop("disallow")
+      .withColumn("seq_no", row_number().over(fifo).cast("long"))
+      .withColumn("priority", lit(0))
+      .withColumn("round_added", lit(0))
+      .select("url", "url_hash", "host", "path_query", "seq_no", "priority", "round_added")
+    val ipState = hostState.select(col("ip")).distinct()
+      .withColumn("next_fetch", lit(0L))
+    val seen = seeds.select(col("url_hash"), col("url"))
+    CrawlState(frontier, seen, hostState, ipState)
+  }
+
+  def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
+          web: SynthWeb, cfg: CrawlConfig, roundIdx: Int,
+          expectedSeen: Long): RoundResult = {
+    val ts = roundIdx.toLong * cfg.roundTickMs
+
+    // ---- dequeue (P1-P6) + fetch (G1-G4) ----
+    val dequeued = Scheduler
+      .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg)
+      .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
+    val fetched = Fetch.run(dequeued, corpusWithIdx, cfg, ts).cache()
+
+    val pagesDelta = fetched.filter(col("status") === 200).select(
+      col("url"), col("url_hash"), col("host"), lit(roundIdx).as("round"),
+      col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
+      col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
+
+    // ---- link extraction + canonicalization (X1, X2) ----
+    val rawLinks = fetched.filter(col("status") === 200)
+      .select(explode(linkStructsUdf(web)(col("url"))).as("l"))
+      .select(col("l._1").as("url"), col("l._2").as("host"), col("l._3").as("path_query"))
+      .withColumn("url_hash", xxhash64(col("url")))
+    val batch = SeenSet.dedupeBatch(rawLinks)
+
+    // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
+    val newHostNames = batch.select("host").distinct()
+      .join(state.hostState.select("host"), Seq("host"), "left_anti")
+    val newHosts = discoverHosts(spark, newHostNames, web, cfg).cache()
+
+    // ---- admission: robots filter + per-host cap (X4, F1, F2) ----
+    val hostDims = state.hostState.select("host", "status", "disallow", "enqueued_count")
+      .unionByName(newHosts.select("host", "status", "disallow", "enqueued_count"))
+    val admissible = batch
+      .join(broadcast(hostDims), Seq("host"))
+      .filter(col("status") === "live")
+      .filter(expr("not exists(disallow, d -> startswith(path_query, d))"))
+    val capW = Window.partitionBy(col("host")).orderBy(col("url_hash"))
+    val capped = admissible
+      .withColumn("cap_rn", row_number().over(capW))
+      .filter(col("cap_rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
+      .select("url", "url_hash", "host", "path_query")
+
+    // ---- the sieve: once and once only (D1-D5) ----
+    val fresh = SeenSet.sieve(capped, state.seen,
+      cfg.bloomPrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
+
+    // new frontier rows — per-host FIFO seq_no monotone across rounds
+    // (SURVEY.md §7 hard part 3); 24 bits of in-round rank is ample under
+    // the 500-per-host cap.
+    val newRows = fresh
+      .withColumn("rn", row_number().over(capW))
+      .select(col("url"), col("url_hash"), col("host"), col("path_query"),
+        (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
+        lit(0).as("priority"), lit(roundIdx).as("round_added"))
+      .cache()
+
+    // ---- host state update (P3, P4, G2, F6, N3) ----
+    val hostOutcome = fetched.groupBy(col("host")).agg(
+      sum(when(col("status") === 200, 1).otherwise(0)).as("ok_cnt"),
+      sum(when(col("status") === -1, 1).otherwise(0)).as("err_cnt"),
+      first(col("error"), ignoreNulls = true).as("err"))
+    val newEnq = newRows.groupBy(col("host")).agg(count(lit(1)).as("new_cnt"))
+
+    val policy = Fetch.errorPolicies("connect_timeout")
+    val allHosts = state.hostState.unionByName(newHosts)
+      .join(hostOutcome, Seq("host"), "left")
+      .join(newEnq, Seq("host"), "left")
+    val hadErr = coalesce(col("err_cnt"), lit(0L)) > 0
+    val hadOk = coalesce(col("ok_cnt"), lit(0L)) > 0
+    val retriesNew = when(hadErr, col("retries") + 1)
+      .when(hadOk, lit(0)).otherwise(col("retries"))
+    val statusNew = when(col("status") === "dead", lit("dead"))
+      .when(hadErr && retriesNew > lit(policy.maxRetries), lit("dead"))
+      .otherwise(col("status"))
+    // exponential error backoff (≙ constants.clj wait << retries, N3)
+    val nextFetchNew = when(hadErr,
+        lit(ts) + (lit(policy.waitMs.toDouble) * pow(lit(2.0), col("retries"))).cast("long"))
+      .when(hadOk, lit(ts) + col("crawl_delay_ms"))
+      .otherwise(col("next_fetch"))
+    val lastErrNew = when(hadErr, coalesce(col("err"), lit("connect_timeout")))
+      .when(hadOk, lit("")).otherwise(col("last_error"))
+    val hostStateNew = allHosts
+      .withColumn("next_fetch", nextFetchNew)
+      .withColumn("retries", retriesNew.cast("int"))
+      .withColumn("last_error", lastErrNew)
+      .withColumn("status", statusNew)
+      .withColumn("enqueued_count", col("enqueued_count") + coalesce(col("new_cnt"), lit(0L)))
+      .select("host", "ip", "bucket", "broken", "next_fetch", "crawl_delay_ms",
+        "disallow", "retries", "last_error", "status", "enqueued_count")
+      .cache()
+
+    // ---- ip politeness stamp (P3) ----
+    val fetchedIps = dequeued.select("ip").distinct()
+      .withColumn("ip_fetch", lit(ts + cfg.ipDelayMs))
+    val ipStateNew = state.ipState
+      .unionByName(newHosts.select(col("ip")).distinct().withColumn("next_fetch", lit(0L)))
+      .groupBy(col("ip")).agg(max(col("next_fetch")).as("next_fetch"))
+      .join(fetchedIps, Seq("ip"), "left")
+      .select(col("ip"), coalesce(col("ip_fetch"), col("next_fetch")).as("next_fetch"))
+
+    // ---- frontier update: consumed URLs out, dead hosts purged, new in ----
+    val consumed = fetched.filter(col("status") =!= -1).select("url_hash")
+    val deadHosts = hostStateNew.filter(col("status") === "dead").select("host")
+    val frontierNew = state.frontier
+      .join(consumed, Seq("url_hash"), "left_anti")
+      .join(deadHosts, Seq("host"), "left_anti")
+      .unionByName(newRows)
+
+    val seenDelta = newRows.select(col("url_hash"), col("url"))
+
+    RoundResult(frontierNew, seenDelta, hostStateNew, ipStateNew, pagesDelta,
+      cached = Seq(fetched, newHosts, newRows, hostStateNew))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.plans.CrawlDriver
+import graft.sources.SynthWeb
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end crawl invariants (SURVEY.md §5 rebuild test plan):
+  *  - sieve: "once and once only" — seen set unique, no page fetched twice
+  *  - politeness: per-host fetch gaps >= crawl delay; one host per IP per round
+  *  - robots: no disallowed path fetched
+  *  - payload: caption exactly equals corpus caption (input_hint)
+  *  - determinism + resume: a kill-and-resume run is identical to a straight run
+  */
+class CrawlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = CrawlConfig(
+    numHosts = 24, pagesPerHost = 32, outDegree = 6,
+    corpusSize = 64, imageSize = 16, numBuckets = 8,
+    keepAliveBatch = 3, maxUrlsPerHost = 40,
+    brokenHostFraction = 0.1)
+
+  private def freshDir(): String =
+    Files.createTempDirectory("crawl_spec").toString
+
+  test("3-round crawl: core invariants hold") {
+    val dir = freshDir()
+    val web = new SynthWeb(cfg)
+    val driver = new CrawlDriver(spark, cfg, dir)
+    val metrics = driver.run(web.seeds(6), maxRounds = 3, maxUrls = Long.MaxValue)
+    assert(metrics.nonEmpty && metrics.head.fetched_ok > 0, "no pages fetched")
+    val round = driver.latestRound().get
+    val pages = driver.pages(round).cache()
+    val seen = driver.seen(round).cache()
+
+    // sieve invariant
+    assert(seen.count() == seen.select("url_hash").distinct().count(), "seen has dups")
+    assert(pages.count() == pages.select("url_hash").distinct().count(), "page fetched twice")
+
+    // every page's caption matches its corpus row exactly (input_hint)
+    val mismatches = pages.withColumn("pick", pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))
+      .withColumn("expected_id", format_string("img%09d", col("pick")))
+      .filter(col("image_id") =!= col("expected_id"))
+      .count()
+    assert(mismatches == 0, "page payload does not match corpus assignment")
+    val capOk = pages.select("caption").collect().forall(_.getString(0).startsWith("caption "))
+    assert(capOk)
+
+    // robots: no disallowed URL fetched (hosts i%5==0 disallow /private)
+    val robotViolations = pages
+      .filter(expr("cast(substring(host, 6, 6) as int) % 5 = 0"))
+      .filter(col("url").contains("/private"))
+      .count()
+    assert(robotViolations == 0, "robots disallow violated")
+
+    // host politeness: consecutive fetch rounds of one host spaced >= delay
+    val gaps = pages.groupBy("host", "fetch_ts").count()
+      .groupBy("host").agg(collect_list("fetch_ts").as("ts"))
+      .collect()
+    val hostDelays = pages.select("host").distinct().collect()
+      .map(r => r.getString(0) -> web.robots(r.getString(0)).crawl_delay_ms).toMap
+    gaps.foreach { r =>
+      val host = r.getString(0)
+      val ts = r.getSeq[Long](1).sorted
+      ts.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b - a >= hostDelays(host), s"host $host politeness gap ${b - a}")
+        case _ => ()
+      }
+    }
+
+    // ip politeness: at most one host fetched per ip per round
+    val ipHost = pages.select("host", "fetch_ts").distinct().collect()
+      .map(r => (web.resolveIp(r.getString(0)), r.getLong(1), r.getString(0)))
+    val byIpRound = ipHost.groupBy(t => (t._1, t._2)).view.mapValues(_.map(_._3).distinct.size)
+    byIpRound.foreach { case ((ip, ts), nHosts) =>
+      assert(nHosts == 1, s"ip $ip fetched $nHosts hosts at ts $ts")
+    }
+    pages.unpersist(); seen.unpersist()
+  }
+
+  test("determinism: two independent runs produce identical pages and seen set") {
+    val web = new SynthWeb(cfg)
+    def runFull(dir: String): (Seq[(Long, Long)], Seq[Long]) = {
+      val d = new CrawlDriver(spark, cfg, dir)
+      d.run(web.seeds(4), maxRounds = 4, maxUrls = Long.MaxValue)
+      val r = d.latestRound().get
+      val p = d.pages(r).select("url_hash", "phash").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted
+      val s = d.seen(r).select("url_hash").collect().map(_.getLong(0)).toSeq.sorted
+      (p, s)
+    }
+    val (p1, s1) = runFull(freshDir())
+    val (p2, s2) = runFull(freshDir())
+    assert(p1 == p2, "pages differ between identical runs")
+    assert(s1 == s2, "seen set differs between identical runs")
+  }
+
+  test("resume: kill after round 2, resume, outputs identical to straight run") {
+    val web = new SynthWeb(cfg)
+    val dirA = freshDir(); val dirB = freshDir()
+    val straight = new CrawlDriver(spark, cfg, dirA)
+    straight.run(web.seeds(4), maxRounds = 5, maxUrls = Long.MaxValue)
+
+    val first = new CrawlDriver(spark, cfg, dirB)
+    first.run(web.seeds(4), maxRounds = 2, maxUrls = Long.MaxValue)
+    val resumed = new CrawlDriver(spark, cfg, dirB) // fresh driver = process restart
+    resumed.run(web.seeds(4), maxRounds = 3, maxUrls = Long.MaxValue)
+
+    def fingerprint(d: CrawlDriver): Seq[(Long, Long, Int)] = {
+      val r = d.latestRound().get
+      d.pages(r).select("url_hash", "phash", "round").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSeq.sorted
+    }
+    assert(straight.latestRound() == resumed.latestRound())
+    assert(fingerprint(straight) == fingerprint(resumed), "resume broke bit-identity")
+  }
+
+  test("broken hosts retry then die; their frontier is purged") {
+    val cfgB = cfg.copy(brokenHostFraction = 1.0, numHosts = 4, maxRetries = 2)
+    val web = new SynthWeb(cfgB)
+    val d = new CrawlDriver(spark, cfgB, freshDir())
+    val m = d.run(web.seeds(4), maxRounds = 40, maxUrls = Long.MaxValue)
+    assert(m.nonEmpty)
+    val r = d.latestRound().get
+    assert(d.pages(r).count() == 0, "broken hosts must never yield pages")
+    // all hosts dead and frontier empty at the end
+    val io = new sources.TableIO(d.workDir, spark)
+    val hosts = io.readSnapshot("host_state", r)
+    assert(hosts.filter(col("status") =!= "dead").count() == 0, "hosts should be dead")
+    assert(io.readSnapshot("frontier", r).count() == 0, "dead-host frontier not purged")
+  }
+}
