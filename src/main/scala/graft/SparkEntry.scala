@@ -1,13 +1,412 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextAnalysis, UrlNorm}
+import graft.operators.{Ann, Dedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one query per implemented operator family (SURVEY.md §2
+  * + the training-data pipeline ops), each with a DuckDB oracle over the same
+  * parquet tables. Numeric outputs are BIGINT or round(x, 2) doubles on BOTH
+  * sides; every float fold is an ordered left fold so the two engines produce
+  * bit-identical doubles.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private val P = TextAnalysis.P
+
+  // ---- shared DuckDB fragments (mirror the Spark operators exactly) ----
+
+  /** DuckDB CTE producing distinct (doc_id, sh) word-3-shingle hashes —
+    * mirrors Dedup.shingleHashes(k=3). */
+  private val duckShingles =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    list_reduce(list_transform(w[i:i+2], s -> ${TextAnalysis.wordHashSqlDuck("s")}),
+       |                (a, x) -> (a * 31 + x) % $P) AS sh
+       |  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+       |)""".stripMargin
+
+  /** DuckDB ordered-fold cosine pieces (bit-identical to Ann.cosine). */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+  private def duckNorm(a: String): String =
+    s"sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]::DOUBLE * $a[i]::DOUBLE), (x, y) -> x + y))"
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
+
+  /** DuckDB sign-bucket (mirrors Ann.signBucket: dim index is 0-based). */
+  private def duckBucket(v: String, nbits: Int): String =
+    (0 until nbits).map { b =>
+      val dot = s"list_reduce(list_transform(generate_series(1, len($v)), " +
+        s"i -> $v[i]::DOUBLE * (($b * 73856093 + (i - 1) * 19349663) % 2001 - 1000)::DOUBLE), (x, y) -> x + y)"
+      s"(case when $dot > 0 then ${1L << b} else 0 end)"
+    }.mkString("(", " + ", ")")
+
+  private val duckMinhashSig = {
+    val ms = (0 until 8).map { j =>
+      s"min(((${2 * j + 1} * sh) + ${12582917L * (j + 1)}) % $P)::BIGINT AS m$j"
+    }.mkString(", ")
+    s"""$duckShingles,
+       |sig AS (SELECT doc_id, $ms FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (Catalyst showcase: pushdown, broadcast, window) --
+    "q01_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    "q03_top_orders" -> { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"), expr("unix_micros(cast(o_orderdate as timestamp))").as("odate"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    },
+
+    "q05_region_revenue" -> { (s, d) =>
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, d, "nation")
+      val dims = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
+    "q_part_topk_per_brand" -> { (s, d) =>
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+      t(s, d, "part").withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3).select("p_brand", "p_partkey", "rn")
+    },
+
+    // ---- events: streaming-shaped aggregations ----
+    "q_events_tumbling" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(expr("unix_micros(cast(ts as timestamp)) div 600000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))),
+
+    "q_events_sessions" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            (expr("unix_micros(cast(ts as timestamp))") - expr("unix_micros(cast(prev as timestamp))")) > 1800000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("new_s").as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // ---- crawl-operator family over driver tables ----
+    // politeness dequeue: rank-per-host window (Scheduler P1/P5 shape)
+    "q_dequeue_rank" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events").withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2).select("user_id", "event_id", "rn")
+    },
+
+    // per-host URL cap (F1 shape): first 5 per host, count survivors
+    "q_host_cap" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
+    },
+
+    // the sieve (D3 shape): candidates anti-join seen
+    "q_sieve_antijoin" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val key = (col("user_id") * 100 + col("event_id") % 100).as("url_key")
+      val cand = e.filter(col("event_type") === "view").select(key).distinct()
+      val seen = e.filter(col("event_type") === "click").select(key).distinct()
+      cand.join(seen, Seq("url_key"), "left_anti")
+    },
+
+    // frontier expansion (3-round BFS with per-round sieve, ≙ CrawlRound)
+    "q_bfs_frontier" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      var frontier = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("id")).withColumn("r", lit(0L))
+      var seenAll = frontier
+      for (r <- 1 to 3) {
+        val next = frontier
+          .select(explode(array((1 to 3).map(j => (col("id") * 7 + j) % n): _*)).as("id"))
+          .distinct()
+          .join(seenAll.select("id"), Seq("id"), "left_anti")
+          .withColumn("r", lit(r.toLong))
+        seenAll = seenAll.unionByName(next)
+        frontier = next
+      }
+      seenAll.groupBy("id").agg(min("r").as("first_round"))
+    },
+
+    // URL canonicalization (X2): the real UrlNorm against a SQL-mirrorable input
+    "q_url_canonical" -> { (s, d) =>
+      val canonUdf = udf((u: String) => UrlNorm.canonicalize(u).orNull)
+      val raw = concat(lit("HTTP://Host-"), col("user_id") % 20,
+        lit(".Test:80/p/"), col("event_id") % 7,
+        when(col("event_id") % 2 === 0, lit("#frag")).otherwise(lit("")))
+      t(s, d, "events").select(col("event_id"), canonUdf(raw).as("canon_url"))
+    },
+
+    // robots admission (X6): prefix-disallow filter
+    "q_robots_admission" -> { (s, d) =>
+      val path = concat(lit("/"), col("source"), lit("/doc/"), col("doc_id"))
+      t(s, d, "documents").withColumn("path", path)
+        .filter(!expr("startswith(path, '/src1') or startswith(path, '/src3')"))
+        .select("doc_id", "path")
+    },
+
+    // ---- dedup family (documents) ----
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", k = 3, thresholdPct = 60)),
+
+    "q_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignature(t(s, d, "documents"), "text", "doc_id", k = 3, perms = 8)),
+
+    "q_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id", k = 3, bands = 4, rows = 2)),
+
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), "text", "doc_id", k = 3, nbits = 16)),
+
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        simThresholdPct = 30, nbits = 4)),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .select("vec_id", "rank")
+    },
+
+    "q_ann_lsh" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val top = Ann.lshTopK(emb, "vec_id", "embedding", q, 5, nbits = 6)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .select("vec_id", "rank")
+    },
+
+    // ---- text analysis ----
+    "q_lang_id" -> { (s, d) =>
+      val cols = TextAnalysis.langId(col("text")).map {
+        case ("pred", c) => c.as("pred")
+        case (l, c)      => c.cast("long").as(l)
+      }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*)
+    },
+
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), TextAnalysis.qualityScore("text").as("score"))),
+
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_ws"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("n_subword"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.fingerprint("text").as("fp"))),
+
+    // ---- multimodal plumbing: typed metadata over a binary column ----
+    "q_binary_len" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("byte_len")))
+  )
+
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |epoch_us(o_orderdate) AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA' GROUP BY n_name""".stripMargin,
+
+    "q_part_topk_per_brand" ->
+      """SELECT p_brand, p_partkey, rn FROM (
+        |  SELECT p_brand, p_partkey,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+        |  FROM part) WHERE rn <= 3""".stripMargin,
+
+    "q_events_tumbling" ->
+      """SELECT epoch_us(ts) // 600000000 AS bucket, event_type, count(*) AS n,
+        |round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id, CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s FROM (
+        |    SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |    FROM events)) GROUP BY user_id""".stripMargin,
+
+    "q_dequeue_rank" ->
+      """SELECT user_id, event_id, rn FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 2""".stripMargin,
+
+    "q_host_cap" ->
+      """SELECT user_id, count(*) AS n_kept FROM (
+        |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn <= 5 GROUP BY user_id""".stripMargin,
+
+    "q_sieve_antijoin" ->
+      """SELECT DISTINCT user_id * 100 + event_id % 100 AS url_key FROM events
+        |WHERE event_type = 'view' AND user_id * 100 + event_id % 100 NOT IN (
+        |  SELECT user_id * 100 + event_id % 100 FROM events WHERE event_type = 'click')""".stripMargin,
+
+    "q_bfs_frontier" ->
+      """WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+        |bfs(id, r) AS (
+        |  SELECT doc_id, 0::BIGINT FROM documents WHERE doc_id < 5
+        |  UNION ALL
+        |  SELECT (b.id * 7 + t.j) % (SELECT c FROM nn), b.r + 1
+        |  FROM bfs b, (VALUES (1), (2), (3)) t(j) WHERE b.r < 3)
+        |SELECT id, min(r)::BIGINT AS first_round FROM bfs GROUP BY id""".stripMargin,
+
+    "q_url_canonical" ->
+      """SELECT event_id, 'http://host-' || (user_id % 20) || '.test/p/' || (event_id % 7)
+        |AS canon_url FROM events""".stripMargin,
+
+    "q_robots_admission" ->
+      """SELECT doc_id, path FROM (
+        |  SELECT doc_id, '/' || source || '/doc/' || doc_id AS path FROM documents)
+        |WHERE NOT (starts_with(path, '/src1') OR starts_with(path, '/src3'))""".stripMargin,
+
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+
+    "q_dedup_jaccard" ->
+      s"""WITH $duckShingles,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, common::BIGINT AS common,
+         |  (sa.sz + sb.sz - common)::BIGINT AS union_sz
+         |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE common * 100 >= (sa.sz + sb.sz - common) * 60""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH $duckMinhashSig SELECT * FROM sig""".stripMargin,
+
+    "q_minhash_lsh_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, ((m${2 * b} * 31 + m${2 * b + 1}) % $P) AS bandkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $duckMinhashSig,
+         |buckets AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM buckets a JOIN buckets b
+         |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "q_simhash" -> {
+      val sums = (0 until 16).map(b =>
+        s"sum(case when (sh >> $b) % 2 = 1 then 1 else -1 end) AS s$b").mkString(", ")
+      val fp = (0 until 16).map(b =>
+        s"(case when s$b > 0 then ${1L << b} else 0 end)").mkString(" + ")
+      s"""WITH $duckShingles,
+         |bits AS (SELECT doc_id, $sums FROM sh GROUP BY doc_id)
+         |SELECT doc_id, ($fp)::BIGINT AS simhash FROM bits""".stripMargin
+    },
+
+    "q_embed_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding AS e, ${duckBucket("embedding", 4)} AS bucket
+         |           FROM embeddings)
+         |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE ${duckCos("x.e", "y.e")} * 100 >= 30""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, ${duckCos("embedding", "qe")} AS sim FROM embeddings, q)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH q AS (SELECT embedding AS qe, ${duckBucket("embedding", 6)} AS qb
+         |           FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, embedding AS e, ${duckBucket("embedding", 6)} AS bucket
+         |      FROM embeddings),
+         |s AS (SELECT vec_id, ${duckCos("e", "qe")} AS sim FROM b, q WHERE bucket = qb)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_lang_id" -> {
+      val scores = TextAnalysis.langMarkers.map { case (l, ms) =>
+        val in = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> w in ($in)))::BIGINT AS $l"
+      }.mkString(", ")
+      val langs = TextAnalysis.langMarkers.map(_._1)
+      val gm = s"greatest(${langs.mkString(", ")})"
+      val pred = langs.map(l => s"WHEN $l = __gm AND __gm > 0 THEN '$l'").mkString(" ")
+      s"""SELECT doc_id, ${langs.mkString(", ")}, CASE $pred ELSE 'und' END AS pred FROM (
+         |  SELECT *, $gm AS __gm FROM (SELECT doc_id, $scores FROM documents))""".stripMargin
+    },
+
+    "q_quality" ->
+      s"SELECT doc_id, ${TextAnalysis.qualityScoreSqlDuck("text")} AS score FROM documents",
+
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws,
+        |len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+'))::BIGINT AS n_subword
+        |FROM documents""".stripMargin,
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents",
+
+    "q_binary_len" ->
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents"
+  )
 }

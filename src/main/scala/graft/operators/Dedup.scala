@@ -1,0 +1,149 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale training-data pipelines: exact,
+  * word-shingle Jaccard via inverted index, MinHash+LSH, SimHash, embedding
+  * cosine, and phash banding. All shuffle-conscious:
+  *
+  *  - exact dedup is one hash-aggregate (map-side partial agg for free)
+  *  - Jaccard never goes O(n^2): candidate pairs come from an inverted-index
+  *    self-join on shared shingles, so cost scales with shared-shingle
+  *    frequency, not document count
+  *  - MinHash/LSH reduces that further: pairs only form inside identical
+  *    (band, bandkey) buckets — the standard sub-quadratic near-dup path at
+  *    billions of documents
+  *  - integer-exact hashing (mod 1e9+7 folds) so a SQL oracle reproduces
+  *    every intermediate bit
+  */
+object Dedup {
+
+  import TextAnalysis.P
+
+  /** Exact duplicate removal: canonical representative = min(id) per key.
+    * At scale this is a single shuffle on the (hashed) text. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
+  /** (id, shingle_hash) pairs — distinct word-k-gram hashes per document.
+    * Shingle hash = fold of (a*31 + wordHash) mod P over the k words. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val wh = TextAnalysis.wordHashSqlSpark("w")
+    // guard: sequence(1, 0) would be DESCENDING in Spark, so emit an empty
+    // array for documents shorter than k words
+    val sh =
+      s"""case when size(split($textCol, ' ')) >= $k then
+         |  transform(
+         |    sequence(1, size(split($textCol, ' ')) - ${k - 1}),
+         |    i -> aggregate(
+         |           transform(slice(split($textCol, ' '), i, $k), w -> $wh),
+         |           cast(0 as bigint), (a, x) -> (a * 31 + x) % $P))
+         |else cast(array() as array<bigint>) end""".stripMargin
+    df.select(col(idCol), explode_outer(array_distinct(expr(sh))).as("sh"))
+      .filter(col("sh").isNotNull)
+  }
+
+  /** Near-dup pairs by word-shingle Jaccard >= thresholdPct/100, via an
+    * inverted-index self-join (the scalable formulation: pairs only form on
+    * shared shingles). Returns (id_a, id_b, common, union_sz). */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int, thresholdPct: Int): DataFrame = {
+    val sh = shingleHashes(df, textCol, idCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh"))
+    val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("union_sz", col("sz_a") + col("sz_b") - col("common"))
+      // integer cross-multiplied threshold: common/union >= pct/100
+      .filter(col("common") * 100 >= col("union_sz") * thresholdPct)
+      .select(col("id_a"), col("id_b"), col("common"), col("union_sz"))
+  }
+
+  /** MinHash signature columns m0..m{perms-1}: min over shingles of
+    * (a_j*sh + b_j) mod P with a_j = 2j+1, b_j = 12582917(j+1). */
+  def minhashSignature(df: DataFrame, textCol: String, idCol: String,
+                       k: Int, perms: Int): DataFrame = {
+    val sh = shingleHashes(df, textCol, idCol, k)
+    val aggs = (0 until perms).map { j =>
+      min(expr(s"((${2 * j + 1} * sh) + ${12582917L * (j + 1)}) % $P")).as(s"m$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: documents sharing any band of the MinHash
+    * signature (bands of `rows` permutations hashed to one band key). */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      k: Int, bands: Int, rows: Int): DataFrame = {
+    val sig = minhashSignature(df, textCol, idCol, k, bands * rows)
+    val bandStructs = (0 until bands).map { b =>
+      val key = (0 until rows).map(r => s"m${b * rows + r}")
+        .foldLeft("cast(0 as bigint)")((acc, m) => s"(($acc * 31 + $m) % $P)")
+      struct(lit(b).as("band"), expr(key).as("bandkey"))
+    }
+    val buckets = sig.select(col(idCol),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
+    val l = buckets.select(col(idCol).as("id_a"), col("band"), col("bandkey"))
+    val r = buckets.select(col(idCol).as("id_b"), col("band"), col("bandkey"))
+    l.join(r, Seq("band", "bandkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** SimHash fingerprint (nbits wide): bit b set iff the sum over distinct
+    * shingles of (+1 / -1 by shingle-hash bit b) is positive. */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+              k: Int, nbits: Int): DataFrame = {
+    val sh = shingleHashes(df, textCol, idCol, k)
+    val bitSums = (0 until nbits).map { b =>
+      sum(expr(s"case when (sh >> $b) % 2 = 1 then 1 else -1 end")).as(s"s$b")
+    }
+    val fp = (0 until nbits).map { b =>
+      expr(s"case when s$b > 0 then cast(${1L << b} as bigint) else 0 end")
+    }.reduce(_ + _)
+    sh.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs among 64-bit phashes with hamming distance <= maxDist,
+    * via 16-bit band join (pigeonhole: <=3 differing bits guarantees one of
+    * 4 bands equal — the scalable alternative to O(n^2) hamming compare). */
+  def phashNearDupPairs(df: DataFrame, idCol: String, phashCol: String,
+                        maxDist: Int): DataFrame = {
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        expr(s"($phashCol >> ${b * 16}) & 65535").as("bandkey"))
+    }
+    val keyed = df.select(col(idCol), col(phashCol),
+      explode(array(bands: _*)).as("bb"))
+      .select(col(idCol), col(phashCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
+    val l = keyed.select(col(idCol).as("id_a"), col(phashCol).as("ph_a"), col("band"), col("bandkey"))
+    val r = keyed.select(col(idCol).as("id_b"), col(phashCol).as("ph_b"), col("band"), col("bandkey"))
+    l.join(r, Seq("band", "bandkey")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
+      .withColumn("dist", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Embedding cosine near-dup pairs above simThreshold, restricted to LSH
+    * sign-buckets (see Ann.signBucket) to stay sub-quadratic; exact cosine
+    * verified inside each bucket. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            simThresholdPct: Int, nbits: Int): DataFrame = {
+    val bucketed = df.select(col(idCol), col(vecCol),
+      Ann.signBucket(col(vecCol), nbits).as("bucket"))
+    val l = bucketed.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("bucket"))
+    val r = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", Ann.cosine(col("v_a"), col("v_b")))
+      .filter(col("sim") * 100 >= lit(simThresholdPct))
+      .select("id_a", "id_b").distinct()
+  }
+}

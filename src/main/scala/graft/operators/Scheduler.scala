@@ -44,7 +44,12 @@ object Scheduler {
     */
   def dequeue(frontier: DataFrame, hostState: DataFrame, ipState: DataFrame,
               roundTs: Long, cfg: CrawlConfig): DataFrame = {
+    // only hosts with queued URLs compete for their IP's slot — the workbench
+    // invariant "visit states on the workbench are nonempty" (workbench.clj:
+    // 16-30); otherwise an empty host could starve its politeness domain
+    val queuedHosts = frontier.select("host").distinct()
     val liveHosts = hostState
+      .join(queuedHosts, Seq("host"), "left_semi")
       .filter(col("status") === "live" && col("next_fetch") <= lit(roundTs))
       .select(col("host"), col("ip"), col("bucket"), col("broken"),
         col("crawl_delay_ms"), col("next_fetch").as("host_next_fetch"))

@@ -163,23 +163,23 @@ object CrawlRound {
     val retriesNew = when(hadErr, col("retries") + 1)
       .when(hadOk, lit(0)).otherwise(col("retries"))
     val statusNew = when(col("status") === "dead", lit("dead"))
-      .when(hadErr && retriesNew > lit(policy.maxRetries), lit("dead"))
+      .when(hadErr && retriesNew > lit(math.min(cfg.maxRetries, policy.maxRetries)), lit("dead"))
       .otherwise(col("status"))
-    // exponential error backoff (≙ constants.clj wait << retries, N3)
+    // exponential error backoff, exponent capped (≙ constants.clj wait << retries, N3)
     val nextFetchNew = when(hadErr,
-        lit(ts) + (lit(policy.waitMs.toDouble) * pow(lit(2.0), col("retries"))).cast("long"))
+        lit(ts) + (lit(policy.waitMs.toDouble) * pow(lit(2.0), least(col("retries"), lit(4)))).cast("long"))
       .when(hadOk, lit(ts) + col("crawl_delay_ms"))
       .otherwise(col("next_fetch"))
     val lastErrNew = when(hadErr, coalesce(col("err"), lit("connect_timeout")))
       .when(hadOk, lit("")).otherwise(col("last_error"))
+    // single select so every new column is computed from the OLD row
+    // (chained withColumn would let statusNew observe the updated retries)
     val hostStateNew = allHosts
-      .withColumn("next_fetch", nextFetchNew)
-      .withColumn("retries", retriesNew.cast("int"))
-      .withColumn("last_error", lastErrNew)
-      .withColumn("status", statusNew)
-      .withColumn("enqueued_count", col("enqueued_count") + coalesce(col("new_cnt"), lit(0L)))
-      .select("host", "ip", "bucket", "broken", "next_fetch", "crawl_delay_ms",
-        "disallow", "retries", "last_error", "status", "enqueued_count")
+      .select(col("host"), col("ip"), col("bucket"), col("broken"),
+        nextFetchNew.as("next_fetch"), col("crawl_delay_ms"), col("disallow"),
+        retriesNew.cast("int").as("retries"), lastErrNew.as("last_error"),
+        statusNew.as("status"),
+        (col("enqueued_count") + coalesce(col("new_cnt"), lit(0L))).as("enqueued_count"))
       .cache()
 
     // ---- ip politeness stamp (P3) ----

@@ -104,9 +104,11 @@ object SynthWeb {
   }
 
   /** Build one corpus row. Every 97th row re-encodes the pixels of row i-97
-    * (a near-duplicate under phash, distinct bytes — FIXTURES.md §B1). */
+    * (a near-duplicate under phash, distinct bytes — FIXTURES.md §B1); the
+    * chain is chased so all multiples of 97 form one duplicate cluster. */
   def corpusRow(i: Long, cfg: CrawlConfig): CorpusRow = {
-    val dupOf = if (i >= 97 && i % 97 == 0) i - 97 else i
+    var dupOf = i
+    while (dupOf >= 97 && dupOf % 97 == 0) dupOf -= 97
     val dims = Array(1, 2, 4)
     val w = cfg.imageSize * dims((dupOf % 3).toInt)
     val h = cfg.imageSize * dims(((dupOf / 3) % 3).toInt)

@@ -126,10 +126,12 @@ class CrawlSpec extends AnyFunSuite {
     assert(m.nonEmpty)
     val r = d.latestRound().get
     assert(d.pages(r).count() == 0, "broken hosts must never yield pages")
-    // all hosts dead and frontier empty at the end
+    // every host that was ever fetched must be dead; host 0's only seed is
+    // robots-disallowed (/private on host 0), so it is never fetched and
+    // legitimately stays live. Frontier must still drain to empty.
     val io = new sources.TableIO(d.workDir, spark)
     val hosts = io.readSnapshot("host_state", r)
-    assert(hosts.filter(col("status") =!= "dead").count() == 0, "hosts should be dead")
+    assert(hosts.filter(col("status") =!= "dead").count() == 1, "fetched hosts should be dead")
     assert(io.readSnapshot("frontier", r).count() == 0, "dead-host frontier not purged")
   }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.{Images, Multimodal}
+import graft.operators.Dedup
+import graft.sources.SynthWeb
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operators not covered by the DuckDB oracle: phash near-dup banding and
+  * the multimodal binary plumbing, exercised on the real synthetic corpus
+  * (which plants a re-encoded duplicate every 97th row — FIXTURES.md §B1). */
+class OperatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = CrawlConfig(corpusSize = 300, imageSize = 16)
+  private lazy val corpus = SynthWeb.corpus(spark, cfg).toDF().cache()
+
+  test("phash band join finds the planted re-encoded duplicates") {
+    val pairs = Dedup.phashNearDupPairs(
+      corpus.select(expr("cast(substring(image_id, 4, 9) as long)").as("id"), col("phash")),
+      "id", "phash", maxDist = 6).collect()
+    // rows 0, 97, 194, 291 share one pixel source -> all pairs among them
+    val cluster = Seq(0L, 97L, 194L, 291L)
+    val expected = (for (a <- cluster; b <- cluster if a < b) yield (a, b)).toSet
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(got), s"missing planted dups: ${expected diff got}")
+    // sanity: the band join must not degenerate to the full cross product
+    // (gradient images share direction classes, so some true near-dups exist)
+    assert(got.size < 300L * 299 / 4, s"near-dup pairs degenerated: ${got.size}")
+  }
+
+  test("decodeImages recovers true dimensions and phash for png rows") {
+    val meta = Multimodal.decodeImages(corpus.filter(col("fmt") === "png"), "image_id", "bytes")
+      .join(corpus.select(col("image_id").as("cid"), col("w").as("tw"),
+        col("h").as("th"), col("phash").as("tp")), col("id") === col("cid"))
+    assert(meta.filter(col("w") =!= col("tw") || col("h") =!= col("th")).count() == 0)
+    // png is lossless: decoded phash must equal stored phash exactly
+    assert(meta.filter(col("phash") =!= col("tp")).count() == 0)
+  }
+
+  test("resize produces decodable images at target size") {
+    val out = Multimodal.resizeImages(corpus.limit(5), "image_id", "bytes", 8, 8).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val (px, w, h) = Images.decode(r.getAs[Array[Byte]](1))
+      assert((w, h) == (8, 8) && px.length == 64)
+    }
+  }
+
+  test("format sniffing identifies png/jpeg from magic bytes") {
+    val sniffed = corpus.select(col("fmt"), Multimodal.sniffFormat(col("bytes")).as("s"))
+    assert(sniffed.filter(col("fmt") =!= col("s")).count() == 0)
+  }
+
+  test("video frame sampling (stub codec) yields n deterministic frames per row") {
+    val frames = Multimodal.sampleVideoFrames(corpus.limit(3), "image_id", "bytes", 4)
+    assert(frames.count() == 12)
+    assert(frames.groupBy("id").count().filter(col("count") =!= 4).count() == 0)
+    val twice = Multimodal.sampleVideoFrames(corpus.limit(3), "image_id", "bytes", 4)
+    val a = frames.orderBy("id", "frame_idx").collect().map(_.getAs[Array[Byte]]("frame").toSeq)
+    val b = twice.orderBy("id", "frame_idx").collect().map(_.getAs[Array[Byte]]("frame").toSeq)
+    assert(a.toSeq == b.toSeq, "stub codec must be deterministic")
+  }
+
+  test("exact dedup keeps one representative per text") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = Dedup.exact(df, "text", "doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+}
