@@ -24,11 +24,25 @@ object CrawlMain {
       .master(s"local[$cores]")
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cores)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_PROFILE")) {
+      import org.apache.spark.scheduler._
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onJobStart(e: SparkListenerJobStart): Unit =
+          starts.put(e.jobId, (System.nanoTime(),
+            e.stageInfos.lastOption.map(_.name).getOrElse("?")))
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+          val (t0, name) = starts.getOrDefault(e.jobId, (0L, "?"))
+          println(f"[job ${e.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%6.2fs  $name")
+        }
+      })
+    }
 
     val cfg = CrawlConfig(numHosts = numHosts, pagesPerHost = pagesPerHost,
       corpusSize = 512, imageSize = 16, numBuckets = math.max(cores.toInt * 2, 16))

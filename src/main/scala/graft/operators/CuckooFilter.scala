@@ -18,7 +18,7 @@ import graft.functions.Hashing
 final class CuckooFilter(val numBuckets: Int) extends Serializable {
   require((numBuckets & (numBuckets - 1)) == 0, "numBuckets must be a power of 2")
   private val SlotsPerBucket = 4
-  private val table = new Array[Short](numBuckets * SlotsPerBucket)
+  private[operators] val table = new Array[Short](numBuckets * SlotsPerBucket)
   private var count = 0L
 
   @inline private def fingerprint(key: Long): Short = {
@@ -101,5 +101,23 @@ object CuckooFilter {
     var buckets = 1
     while (buckets.toLong * 4 * 95 / 100 < n && buckets < (1 << 28)) buckets <<= 1
     new CuckooFilter(buckets)
+  }
+
+  /** Wire format: [numBuckets:int][overflowed:byte][table:short*]. */
+  def toBytes(f: CuckooFilter): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 1 + f.table.length * 2)
+    bb.putInt(f.numBuckets)
+    bb.put(if (f.overflowed) 1.toByte else 0.toByte)
+    f.table.foreach(bb.putShort)
+    bb.array()
+  }
+
+  def fromBytes(bytes: Array[Byte]): CuckooFilter = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val f = new CuckooFilter(bb.getInt)
+    f.overflowed = bb.get() == 1
+    var i = 0
+    while (bb.remaining() >= 2) { f.table(i) = bb.getShort; i += 1 }
+    f
   }
 }

@@ -46,7 +46,32 @@ object Fetch {
           .otherwise(lit(null).cast("long")))
     val corpusSide =
       if (cfg.corpusSize <= (1 << 20)) broadcast(corpusWithIdx) else corpusWithIdx
-    attempted.join(corpusSide, attempted("pick") === corpusSide("corpus_idx"), "left")
+    val joined = attempted
+      .join(corpusSide, attempted("pick") === corpusSide("corpus_idx"), "left")
       .drop("pick", "corpus_idx")
+    // per-row payload verification (input_hint): decode the fetched bytes and
+    // check decoded-pixel PSNR >= 40 dB for jpeg / exact pixels for png,
+    // plus exact caption equality, against the deterministic ground truth.
+    // Sampled 1-in-verifySample by url_hash (verifySample=1 => exhaustive,
+    // used by the tests; large crawls sample to keep decode off the critical
+    // path without losing the invariant).
+    val seed = cfg.seed
+    val verifyUdf = udf { (imageId: String, bytes: Array[Byte], fmt: String,
+                           w: Int, h: Int, caption: String) =>
+      import graft.functions.{Hashing, Images}
+      val idx = imageId.stripPrefix("img").toLong
+      var src = idx
+      while (src >= 97 && src % 97 == 0) src -= 97
+      val expected = Images.synthPixels(Hashing.splitmix64(seed ^ (src * 0x9E37L)), w, h)
+      val (px, dw, dh) = Images.decode(bytes)
+      val pixelsOk =
+        if (fmt == "png") dw == w && dh == h && px.sameElements(expected)
+        else dw == w && dh == h && Images.psnr(expected, px) >= 40.0
+      pixelsOk && caption == graft.sources.SynthWeb.caption(idx, seed)
+    }
+    joined.withColumn("verify_ok",
+      when(col("status") === 200 && pmod(col("url_hash"), lit(cfg.verifySample.toLong)) === 0,
+        verifyUdf(col("image_id"), col("bytes"), col("fmt"), col("w"), col("h"), col("caption")))
+        .otherwise(lit(null).cast("boolean")))
   }
 }

@@ -31,28 +31,25 @@ object SeenSet {
   def antiJoin(candidates: DataFrame, seen: DataFrame): DataFrame =
     candidates.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
 
-  /** Build a broadcastable cuckoo pre-filter from the seen table: one filter
-    * per partition, merged. Falls back to Spark's built-in BloomFilter sketch
-    * when the merged filter overflows. Returns a Column predicate
-    * `mightContain(url_hash)`.
+  /** Build a broadcastable cuckoo pre-filter from the seen table via the
+    * native [[CuckooFilterAgg]] TypedImperativeAggregate (partials built per
+    * partition, merged in Catalyst's partial-aggregate tree). Falls back to
+    * Spark's built-in BloomFilter sketch when the merged filter overflows.
+    * Returns a Column predicate `mightContain(url_hash)`.
     */
   def prefilterPredicate(seen: DataFrame, expectedKeys: Long, fpp: Double): Column = {
     val spark = seen.sparkSession
     val capacity = math.max(1024L, expectedKeys)
-    val partial = seen.select(col("url_hash")).rdd
-      .mapPartitions { it =>
-        val f = CuckooFilter.forCapacity(capacity)
-        it.foreach(r => f.add(r.getLong(0)))
-        Iterator.single(f)
-      }
-    val merged = partial.fold(CuckooFilter.forCapacity(capacity)) { (a, b) => a.mergeFrom(b); a }
+    val blob = seen.select(CuckooFilterAgg(col("url_hash"), capacity).as("f"))
+      .head().getAs[Array[Byte]](0)
+    val merged = CuckooFilter.fromBytes(blob)
     if (!merged.overflowed) {
       val bc = spark.sparkContext.broadcast(merged)
       val mightContain = udf((h: Long) => bc.value.mightContain(h))
       mightContain(col("url_hash"))
     } else {
       // bloom fallback: Spark's sketch aggregates natively over the Dataset
-      val bloom = seen.stat.bloomFilter("url_hash", math.max(capacity, merged.size * 2), fpp)
+      val bloom = seen.stat.bloomFilter("url_hash", capacity * 2, fpp)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
       mightContain(col("url_hash"))

@@ -34,7 +34,8 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     frontier = io.readSnapshot("frontier", round),
     seen = io.readDeltas("seen", round),
     hostState = io.readSnapshot("host_state", round),
-    ipState = io.readSnapshot("ip_state", round))
+    ipState = io.readSnapshot("ip_state", round),
+    phashSeen = io.readDeltas("phash_seen", round))
 
   /** Run (or resume) the crawl. Returns per-round metrics. */
   def run(seedUrls: Seq[String], maxRounds: Int, maxUrls: Long): Seq[RoundMetrics] = {
@@ -47,6 +48,7 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
         val cS = io.writeSnapshot("seen", 0, st.seen)
         val cH = io.writeSnapshot("host_state", 0, st.hostState)
         val cI = io.writeSnapshot("ip_state", 0, st.ipState)
+        io.writeSnapshot("phash_seen", 0, st.phashSeen)
         io.commit(0, configHash, Map("frontier" -> cF, "seen" -> cS,
           "host_state" -> cH, "ip_state" -> cI, "pages" -> 0L))
         0
@@ -62,15 +64,37 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       val round = r + 1
       val state = loadState(r)
       val res = CrawlRound.run(spark, state, corpus, web, cfg, round, seenTotal)
-      val dequeuedCnt = res.cached.head.count() // fetched (cached) drives the round
-      val cF = io.writeSnapshot("frontier", round, res.frontier)
-      val cSeenDelta = io.writeSnapshot("seen", round, res.seenDelta)
-      val cH = io.writeSnapshot("host_state", round, res.hostState)
-      val cI = io.writeSnapshot("ip_state", round, res.ipState)
-      val cP = io.writeSnapshot("pages", round, res.pagesDelta)
-      val fetchErrors = res.cached.head.filter(col("status") === -1).count()
-      val hostsNew = res.hostState.count() - state.hostState.count()
-      val hostsPurged = res.hostState.filter(col("status") === "dead").count()
+      // all state writes are independent (their inputs are eagerly
+      // checkpointed inside the round), so run them as concurrent Spark jobs
+      // together with the two metric aggregates — the per-round commit cost
+      // is then max(write latencies), not their sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fstatsF = Future(res.cached.head.agg(
+        count(lit(1)), sum(when(col("status") === -1, 1L).otherwise(0L))).head())
+      val hstatsF = Future(res.hostState.agg(
+        count(lit(1)), sum(when(col("status") === "dead", 1L).otherwise(0L))).head())
+      val writeF = Future.sequence(Seq(
+        Future(io.write("frontier", round, res.frontier)),
+        Future(io.write("seen", round, res.seenDelta)),
+        Future(io.write("host_state", round, res.hostState)),
+        Future(io.write("ip_state", round, res.ipState)),
+        Future(io.write("pages", round, res.pagesDelta)),
+        Future(io.write("phash_seen", round, res.phashSeenDelta))))
+      Await.result(writeF, Duration.Inf)
+      val countF = Future.sequence(Seq("frontier", "seen", "pages")
+        .map(t => Future(t -> io.countRows(t, round))))
+      val counts = Await.result(countF, Duration.Inf).toMap
+      val cF = counts("frontier"); val cSeenDelta = counts("seen"); val cP = counts("pages")
+      val fstats = Await.result(fstatsF, Duration.Inf)
+      val hstats = Await.result(hstatsF, Duration.Inf)
+      val dequeuedCnt = fstats.getLong(0)
+      val fetchErrors = if (fstats.isNullAt(1)) 0L else fstats.getLong(1)
+      val cH = hstats.getLong(0)
+      val cI = 0L // ip_state row count is not tracked (not used downstream)
+      val hostsNew = cH - countsOf(r).getOrElse("host_state", 0L)
+      val hostsPurged = if (hstats.isNullAt(1)) 0L else hstats.getLong(1)
       seenTotal += cSeenDelta
       totalPages += cP
       val m = RoundMetrics(round, round.toLong * cfg.roundTickMs, dequeuedCnt,

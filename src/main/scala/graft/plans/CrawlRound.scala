@@ -15,12 +15,13 @@ final case class CrawlState(
     frontier: DataFrame,  // FrontierRow
     seen: DataFrame,      // SeenRow
     hostState: DataFrame, // HostState
-    ipState: DataFrame)   // IpState
+    ipState: DataFrame,   // IpState
+    phashSeen: DataFrame) // (phash: Long) — content near-dup index
 
 /** Lazy outputs of one round; the driver materializes + commits them. */
 final case class RoundResult(
     frontier: DataFrame, seenDelta: DataFrame, hostState: DataFrame,
-    ipState: DataFrame, pagesDelta: DataFrame,
+    ipState: DataFrame, pagesDelta: DataFrame, phashSeenDelta: DataFrame,
     cached: Seq[DataFrame]) // intermediates to unpersist after commit
 
 /** One crawl round as a single deterministic Dataset pipeline (north rule):
@@ -89,7 +90,8 @@ object CrawlRound {
     val ipState = hostState.select(col("ip")).distinct()
       .withColumn("next_fetch", lit(0L))
     val seen = seeds.select(col("url_hash"), col("url"))
-    CrawlState(frontier, seen, hostState, ipState)
+    val phashSeen = Seq.empty[Long].toDF("phash")
+    CrawlState(frontier, seen, hostState, ipState, phashSeen)
   }
 
   def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
@@ -101,12 +103,29 @@ object CrawlRound {
     val dequeued = Scheduler
       .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg)
       .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
-    val fetched = Fetch.run(dequeued, corpusWithIdx, cfg, ts).cache()
+    // eager localCheckpoint (not cache): truncates the logical plan so the
+    // driver does not re-analyze the whole round DAG on every downstream
+    // action — with ~13 actions/round the repeated Catalyst passes were the
+    // dominant serial cost, dwarfing actual task time
+    val fetched = Fetch.run(dequeued, corpusWithIdx, cfg, ts).localCheckpoint()
 
-    val pagesDelta = fetched.filter(col("status") === 200).select(
+    // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
+    // membership"): duplicate = same phash earlier in this round (window
+    // rank) or in any prior round (anti-join the compact phash index) —
+    // flagged, not dropped, so the decision is auditable and deterministic
+    val pagesRaw = fetched.filter(col("status") === 200).select(
       col("url"), col("url_hash"), col("host"), lit(roundIdx).as("round"),
       col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
-      col("w"), col("h"), col("fmt"), col("caption"), col("phash"))
+      col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
+    val phashW = Window.partitionBy(col("phash")).orderBy(col("url_hash"))
+    val pagesDelta = pagesRaw
+      .withColumn("phash_rn", row_number().over(phashW))
+      .join(state.phashSeen.select(col("phash")).distinct()
+        .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
+      .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
+      .drop("phash_rn", "ph_seen")
+    val phashSeenDelta = pagesDelta.filter(!col("phash_dup"))
+      .select(col("phash")).distinct()
 
     // ---- link extraction + canonicalization (X1, X2) ----
     val rawLinks = fetched.filter(col("status") === 200)
@@ -118,7 +137,7 @@ object CrawlRound {
     // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
     val newHostNames = batch.select("host").distinct()
       .join(state.hostState.select("host"), Seq("host"), "left_anti")
-    val newHosts = discoverHosts(spark, newHostNames, web, cfg).cache()
+    val newHosts = discoverHosts(spark, newHostNames, web, cfg).localCheckpoint()
 
     // ---- admission: robots filter + per-host cap (X4, F1, F2) ----
     val hostDims = state.hostState.select("host", "status", "disallow", "enqueued_count")
@@ -134,8 +153,12 @@ object CrawlRound {
       .select("url", "url_hash", "host", "path_query")
 
     // ---- the sieve: once and once only (D1-D5) ----
+    // the approximate pre-filter only pays for itself once the seen table is
+    // large (it skips the exact anti-join shuffle for definite-new links);
+    // below the threshold the plain anti-join is cheaper than building it
+    val usePrefilter = cfg.bloomPrefilter && expectedSeen > 500000L
     val fresh = SeenSet.sieve(capped, state.seen,
-      cfg.bloomPrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
+      usePrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
 
     // new frontier rows — per-host FIFO seq_no monotone across rounds
     // (SURVEY.md §7 hard part 3); 24 bits of in-round rank is ample under
@@ -145,7 +168,7 @@ object CrawlRound {
       .select(col("url"), col("url_hash"), col("host"), col("path_query"),
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
         lit(0).as("priority"), lit(roundIdx).as("round_added"))
-      .cache()
+      .localCheckpoint()
 
     // ---- host state update (P3, P4, G2, F6, N3) ----
     val hostOutcome = fetched.groupBy(col("host")).agg(
@@ -180,10 +203,12 @@ object CrawlRound {
         retriesNew.cast("int").as("retries"), lastErrNew.as("last_error"),
         statusNew.as("status"),
         (col("enqueued_count") + coalesce(col("new_cnt"), lit(0L))).as("enqueued_count"))
-      .cache()
+      .localCheckpoint()
 
     // ---- ip politeness stamp (P3) ----
-    val fetchedIps = dequeued.select("ip").distinct()
+    // read ips from the cached fetch output, not `dequeued` (whose window
+    // plan would otherwise be recomputed from scratch)
+    val fetchedIps = fetched.select("ip").distinct()
       .withColumn("ip_fetch", lit(ts + cfg.ipDelayMs))
     val ipStateNew = state.ipState
       .unionByName(newHosts.select(col("ip")).distinct().withColumn("next_fetch", lit(0L)))
@@ -202,6 +227,6 @@ object CrawlRound {
     val seenDelta = newRows.select(col("url_hash"), col("url"))
 
     RoundResult(frontierNew, seenDelta, hostStateNew, ipStateNew, pagesDelta,
-      cached = Seq(fetched, newHosts, newRows, hostStateNew))
+      phashSeenDelta, cached = Seq(fetched, newHosts, newRows, hostStateNew))
   }
 }

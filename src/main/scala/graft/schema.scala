@@ -70,7 +70,9 @@ final case class PageRow(
     h: Int,
     fmt: String,
     caption: String,
-    phash: Long)
+    phash: Long,
+    verify_ok: Option[Boolean], // sampled decode/PSNR/caption check (null = unsampled)
+    phash_dup: Boolean)         // content near-dup under the phash index
 
 /** Per-round metrics row (≙ stats channel, `stats.clj:12-36`). */
 final case class RoundMetrics(
@@ -103,6 +105,7 @@ final case class CrawlConfig(
     perBucketQuota: Int = 1 << 20,
     bloomPrefilter: Boolean = true,
     bloomFpp: Double = 0.01,
+    verifySample: Int = 1,       // decode-verify every Nth fetch (1 = all)
     // synthetic web shape (≙ BUbiNG graph-server protocol, README.md:38-41)
     numHosts: Int = 64,
     pagesPerHost: Int = 64,

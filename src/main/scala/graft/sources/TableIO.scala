@@ -30,9 +30,16 @@ final class TableIO(val workDir: String, spark: SparkSession) {
   def tablePath(table: String, round: Int): String =
     root.resolve(table).resolve(s"r=$round").toString
 
-  def writeSnapshot(table: String, round: Int, df: DataFrame): Long = {
+  def write(table: String, round: Int, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(tablePath(table, round))
+
+  /** Row count from parquet footers only (no data scan). */
+  def countRows(table: String, round: Int): Long =
     spark.read.parquet(tablePath(table, round)).count()
+
+  def writeSnapshot(table: String, round: Int, df: DataFrame): Long = {
+    write(table, round, df)
+    countRows(table, round)
   }
 
   def readSnapshot(table: String, round: Int): DataFrame =
