@@ -26,6 +26,13 @@ object CrawlMain {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // AQE coalesces shuffle partitions by SIZE; crawl stages are small in
+      // bytes but heavy in CPU (UDF canonicalization, image decode), so the
+      // 64MB default advisory collapses them to 1-3 tasks and kills scaling
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_BYTES", "2m"))
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -41,11 +48,18 @@ object CrawlMain {
           val (t0, name) = starts.getOrDefault(e.jobId, (0L, "?"))
           println(f"[job ${e.jobId}%3d] ${(System.nanoTime() - t0) / 1e9}%6.2fs  $name")
         }
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          if (secs > 0.75)
+            println(f"[stage ${si.stageId}%4d] $secs%6.2fs tasks=${si.numTasks}%4d  ${si.name.take(60)}")
+        }
       })
     }
 
     val cfg = CrawlConfig(numHosts = numHosts, pagesPerHost = pagesPerHost,
-      corpusSize = 512, imageSize = 16, numBuckets = math.max(cores.toInt * 2, 16))
+      corpusSize = 512, imageSize = 16, numBuckets = math.max(cores.toInt * 2, 16),
+      verifySample = sys.env.getOrElse("SPARK_GRAFT_VERIFY_SAMPLE", "1").toInt)
     val web = new SynthWeb(cfg)
     val driver = new CrawlDriver(spark, cfg, workDir)
     val t0 = System.nanoTime()
@@ -57,7 +71,12 @@ object CrawlMain {
         s""""hosts_new":${m.hosts_new},"wall_ms":${m.wall_ms}}""")
     }
     val urls = metrics.map(_.dequeued).sum
-    println(f"""{"total_urls":$urls,"wall_sec":$wallSec%.2f,"urls_per_sec":${urls / wallSec}%.1f,"cores":"$cores"}""")
+    import scala.jdk.CollectionConverters._
+    val gcMs = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+    val cpuSec = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean].getProcessCpuTime / 1e9
+    println(f"""{"total_urls":$urls,"wall_sec":$wallSec%.2f,"urls_per_sec":${urls / wallSec}%.1f,"cores":"$cores","gc_sec":${gcMs / 1000.0}%.1f,"cpu_sec":$cpuSec%.1f}""")
     spark.stop()
   }
 }

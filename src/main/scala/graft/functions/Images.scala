@@ -16,6 +16,11 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object Images {
 
+  // ImageIO defaults to a DISK-backed stream cache: every decode/encode
+  // creates and deletes a temp file, which serializes on the filesystem and
+  // destroys multi-core scaling. Keep streams in memory.
+  ImageIO.setUseCache(false)
+
   /** Deterministic grayscale pixel field: smooth 2-D gradient + low-amplitude
     * seeded noise. Smoothness keeps JPEG PSNR comfortably above 40 dB while
     * the noise makes each image unique (phash-distinguishable).
@@ -52,49 +57,70 @@ object Images {
     img
   }
 
-  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    ImageIO.write(toImage(px, w, h), "png", out)
-    out.toByteArray
+  // The ImageIO service-registry lookup inside ImageIO.read/write is
+  // synchronized — at 32 decode threads it burns more CPU in contention than
+  // in actual decoding. Cache one reader/writer instance per thread
+  // (ImageReader.setInput resets state, so reuse is supported).
+  private val pngReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
+    ImageIO.getImageReadersByFormatName("png").next()
+  }
+  private val jpegReaderTL = ThreadLocal.withInitial[javax.imageio.ImageReader] { () =>
+    ImageIO.getImageReadersByFormatName("jpeg").next()
+  }
+  private val pngWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+    ImageIO.getImageWritersByFormatName("png").next()
+  }
+  private val jpegWriterTL = ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+    ImageIO.getImageWritersByFormatName("jpeg").next()
   }
 
-  def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.95f): Array[Byte] = {
-    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(quality)
+  private def writeWith(writer: javax.imageio.ImageWriter, img: BufferedImage,
+                        param: ImageWriteParam): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     val ios = new MemoryCacheImageOutputStream(out)
     writer.setOutput(ios)
-    try writer.write(null, new IIOImage(toImage(px, w, h), null, null), param)
-    finally { writer.dispose(); ios.close() }
+    try writer.write(null, new IIOImage(img, null, null), param)
+    finally { writer.setOutput(null); ios.close() }
     out.toByteArray
   }
 
-  /** Decode any ImageIO-supported payload back to grayscale pixels. */
+  def encodePng(px: Array[Int], w: Int, h: Int): Array[Byte] =
+    writeWith(pngWriterTL.get(), toImage(px, w, h), null)
+
+  def encodeJpeg(px: Array[Int], w: Int, h: Int, quality: Float = 0.95f): Array[Byte] = {
+    val writer = jpegWriterTL.get()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    writeWith(writer, toImage(px, w, h), param)
+  }
+
+  /** Decode a PNG or JPEG payload back to grayscale pixels. */
   def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
-    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 0x50
+    val reader = if (isPng) pngReaderTL.get() else jpegReaderTL.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val img =
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally { reader.setInput(null); iis.close() }
     require(img != null, "undecodable image payload")
     val w = img.getWidth; val h = img.getHeight
     val raster = img.getRaster
     val bands = raster.getNumBands
     val px = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        // raw raster samples (getRGB would apply gray->sRGB conversion)
-        px(y * w + x) =
-          if (bands == 1) raster.getSample(x, y, 0)
-          else {
-            val r = raster.getSample(x, y, 0)
-            val g = raster.getSample(x, y, 1)
-            val b = raster.getSample(x, y, 2)
-            (r * 299 + g * 587 + b * 114 + 500) / 1000
-          }
-        x += 1
+    if (bands == 1) {
+      // bulk raster read (getSample per pixel is an order of magnitude slower)
+      raster.getSamples(0, 0, w, h, 0, px)
+    } else {
+      val r = raster.getSamples(0, 0, w, h, 0, new Array[Int](w * h))
+      val g = raster.getSamples(0, 0, w, h, 1, new Array[Int](w * h))
+      val b = raster.getSamples(0, 0, w, h, 2, new Array[Int](w * h))
+      var i = 0
+      while (i < px.length) {
+        px(i) = (r(i) * 299 + g(i) * 587 + b(i) * 114 + 500) / 1000
+        i += 1
       }
-      y += 1
     }
     (px, w, h)
   }

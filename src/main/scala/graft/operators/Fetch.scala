@@ -44,10 +44,13 @@ object Fetch {
       .withColumn("pick",
         when(col("status") === 200, pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))
           .otherwise(lit(null).cast("long")))
-    val corpusSide =
-      if (cfg.corpusSize <= (1 << 20)) broadcast(corpusWithIdx) else corpusWithIdx
+    // shuffle-hash join, not broadcast: the corpus carries image bytes, and
+    // a per-round driver-side broadcast build of megabytes of payload is a
+    // serial cost that caps scaling — while the shuffle is fully parallel
+    // and is the only plan that survives a 100 TB corpus anyway
     val joined = attempted
-      .join(corpusSide, attempted("pick") === corpusSide("corpus_idx"), "left")
+      .join(corpusWithIdx.hint("shuffle_hash"),
+        attempted("pick") === corpusWithIdx("corpus_idx"), "left")
       .drop("pick", "corpus_idx")
     // per-row payload verification (input_hint): decode the fetched bytes and
     // check decoded-pixel PSNR >= 40 dB for jpeg / exact pixels for png,

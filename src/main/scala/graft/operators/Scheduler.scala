@@ -29,6 +29,28 @@ import org.apache.spark.sql.functions._
   */
 object Scheduler {
 
+  /** P6 — the BUbiNG path-query-limit formula bounding in-memory URLs per
+    * visit state (`/root/reference/src/clj/ramper/frontier/workbench.clj:
+    * 209-223`): min(300000/hostDelay, max(4, ceil(workbenchSize /
+    * (entrySize/delayRatio * frontSize)))). Here it feeds the per-host rank
+    * cutoff when materializing a round's work list. */
+  def pathQueryLimit(hostDelayMs: Long, workbenchSize: Long, entrySize: Long,
+                     frontSize: Long): Int = {
+    val byDelay = if (hostDelayMs <= 0) Int.MaxValue.toLong else 300000L / hostDelayMs
+    val byMemory = math.max(4L,
+      math.ceil(workbenchSize.toDouble / (math.max(entrySize, 1L).toDouble * math.max(frontSize, 1L))).toLong)
+    math.min(byDelay, byMemory).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** F3 — adaptive front sizing (≙ required-front-size grown by starving
+    * fetchers, fetching_thread.clj:23,243-252): widen the keepalive batch
+    * when a round under-fills its quota, shrink when saturated. Pure
+    * function of committed metrics, so resume stays deterministic. */
+  def adaptBatch(current: Int, dequeued: Long, quota: Long, max: Int = 64): Int =
+    if (quota <= 0) current
+    else if (dequeued < quota / 2) math.min(current * 2, max)
+    else current
+
   /** Add the salted politeness/partitioning bucket for a host column.
     * Salting: hot hosts (detected by config) could map to several salts; the
     * base scheme hashes host uniformly across `numBuckets`. */

@@ -4,6 +4,9 @@ import graft.{CrawlConfig, RoundMetrics}
 import graft.sources.{SynthWeb, TableIO}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
 
 /** The round loop (≙ the reference's agent assembly + shutdown-condition
   * loop, `/root/reference/src/clj/ramper/agent.clj:27-117`; stop conditions
@@ -11,16 +14,21 @@ import org.apache.spark.sql.functions._
   * commit each round through [[TableIO]], stop on max-urls / empty frontier /
   * round budget.
   *
-  * Checkpoint/resume: state lives ONLY in committed tables; each round reads
-  * the previous round's Parquet (which also truncates Spark lineage, so the
-  * DAG stays O(1) per round). Killing the job between commits loses at most
-  * the in-flight round; rerunning reproduces it bit-identically because the
-  * round is a pure function of (committed state, round index, config).
+  * Pipelined commit: round N's durability writes run as concurrent Spark
+  * jobs AND overlap round N+1's compute — N+1 proceeds from the in-memory
+  * (eagerly checkpointed) state the moment it exists, while parquet flushes
+  * behind it. The manifest for N is only committed after N's writes finish,
+  * and manifests are strictly ordered, so crash-resume semantics are
+  * unchanged: a kill loses at most the uncommitted tail, and rerunning
+  * reproduces it bit-identically because each round is a pure function of
+  * (committed state, round index, config). Every K rounds the in-memory
+  * state re-anchors to the committed Parquet (bounds plan depth and memory).
   */
 final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: String) {
   private val io = new TableIO(workDir, spark)
   private val web = new SynthWeb(cfg)
   private val configHash = cfg.hashCode().toHexString
+  private val reanchorEvery = 8
 
   private def corpusWithIdx(): DataFrame = {
     val corpusDir = io.tablePath("corpus", 0)
@@ -37,8 +45,15 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     ipState = io.readSnapshot("ip_state", round),
     phashSeen = io.readDeltas("phash_seen", round))
 
-  /** Run (or resume) the crawl. Returns per-round metrics. */
+  /** Run (or resume) the crawl from a Seq of seed URLs (test convenience). */
   def run(seedUrls: Seq[String], maxRounds: Int, maxUrls: Long): Seq[RoundMetrics] = {
+    import spark.implicits._
+    run(seedUrls.toDF("url"), maxRounds, maxUrls)
+  }
+
+  /** Run (or resume) the crawl. Returns per-round metrics. Seeds are a
+    * DataFrame with one `url` column (≙ S1: spark.read.textFile(seeds)). */
+  def run(seedUrls: DataFrame, maxRounds: Int, maxUrls: Long): Seq[RoundMetrics] = {
     val corpus = corpusWithIdx()
     val startRound = io.latestRound() match {
       case Some(r) => r
@@ -58,58 +73,84 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       io.readDeltas("seen", startRound).count())
     val metrics = scala.collection.mutable.ArrayBuffer.empty[RoundMetrics]
     var r = startRound
+    var state = loadState(startRound)
+    var hostsPrev = countsOf(startRound).getOrElse("host_state", 0L)
+    var pendingCommit: Future[Unit] = Future.successful(())
     var stop = false
     while (r < startRound + maxRounds && !stop) {
       val t0 = System.nanoTime()
       val round = r + 1
-      val state = loadState(r)
       val res = CrawlRound.run(spark, state, corpus, web, cfg, round, seenTotal)
-      // all state writes are independent (their inputs are eagerly
-      // checkpointed inside the round), so run them as concurrent Spark jobs
-      // together with the two metric aggregates — the per-round commit cost
-      // is then max(write latencies), not their sum
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fstatsF = Future(res.cached.head.agg(
-        count(lit(1)), sum(when(col("status") === -1, 1L).otherwise(0L))).head())
-      val hstatsF = Future(res.hostState.agg(
-        count(lit(1)), sum(when(col("status") === "dead", 1L).otherwise(0L))).head())
-      val writeF = Future.sequence(Seq(
-        Future(io.write("frontier", round, res.frontier)),
-        Future(io.write("seen", round, res.seenDelta)),
-        Future(io.write("host_state", round, res.hostState)),
-        Future(io.write("ip_state", round, res.ipState)),
-        Future(io.write("pages", round, res.pagesDelta)),
-        Future(io.write("phash_seen", round, res.phashSeenDelta))))
-      Await.result(writeF, Duration.Inf)
-      val countF = Future.sequence(Seq("frontier", "seen", "pages")
-        .map(t => Future(t -> io.countRows(t, round))))
-      val counts = Await.result(countF, Duration.Inf).toMap
-      val cF = counts("frontier"); val cSeenDelta = counts("seen"); val cP = counts("pages")
-      val fstats = Await.result(fstatsF, Duration.Inf)
-      val hstats = Await.result(hstatsF, Duration.Inf)
+
+      // materialize next-round state eagerly (concurrently with the previous
+      // round's still-flushing writes)
+      val frontierCk = res.frontier.localCheckpoint()
+      val ipCk = res.ipState.localCheckpoint()
+      val phashDeltaCk = res.phashSeenDelta.localCheckpoint()
+
+      // metrics from one aggregate over the cached fetch output
+      val fstats = res.cached.head.agg(
+        count(lit(1)),
+        sum(when(col("status") === -1, 1L).otherwise(0L)),
+        sum(when(col("status") === 200, 1L).otherwise(0L))).head()
       val dequeuedCnt = fstats.getLong(0)
       val fetchErrors = if (fstats.isNullAt(1)) 0L else fstats.getLong(1)
+      val cP = if (fstats.isNullAt(2)) 0L else fstats.getLong(2)
+      val hstats = res.hostState.agg(
+        count(lit(1)), sum(when(col("status") === "dead", 1L).otherwise(0L))).head()
       val cH = hstats.getLong(0)
-      val cI = 0L // ip_state row count is not tracked (not used downstream)
-      val hostsNew = cH - countsOf(r).getOrElse("host_state", 0L)
       val hostsPurged = if (hstats.isNullAt(1)) 0L else hstats.getLong(1)
+      val hostsNew = cH - hostsPrev
+      hostsPrev = cH
+      val cF = frontierCk.count()
+      val cSeenDelta = res.seenDelta.count() // seenDelta is a view of checkpointed newRows
       seenTotal += cSeenDelta
       totalPages += cP
+
       val m = RoundMetrics(round, round.toLong * cfg.roundTickMs, dequeuedCnt,
         cP, fetchErrors, 0L, cSeenDelta, dequeuedCnt, hostsNew, hostsPurged,
         (System.nanoTime() - t0) / 1000000L)
-      import spark.implicits._
-      io.writeSnapshot("metrics", round, Seq(m).toDF())
-      io.commit(round, configHash, Map("frontier" -> cF, "seen_delta" -> cSeenDelta,
-        "seen_total" -> seenTotal, "host_state" -> cH, "ip_state" -> cI,
-        "pages" -> cP, "pages_total" -> totalPages))
-      res.cached.foreach(_.unpersist())
       metrics += m
+
+      // wait out the previous round's commit (manifests are ordered), then
+      // launch this round's writes + commit in the background
+      Await.result(pendingCommit, Duration.Inf)
+      val commitMap = Map("frontier" -> cF, "seen_delta" -> cSeenDelta,
+        "seen_total" -> seenTotal, "host_state" -> cH,
+        "pages" -> cP, "pages_total" -> totalPages)
+      // checkpoint blocks of finished rounds are NOT unpersisted explicitly:
+      // the next round's state still references several of them (frontier,
+      // host state, seen-delta unions); Spark's ContextCleaner frees each
+      // block set once its DataFrame becomes unreachable
+      pendingCommit = Future.sequence(Seq(
+        Future(io.write("frontier", round, frontierCk)),
+        Future(io.write("seen", round, res.seenDelta)),
+        Future(io.write("host_state", round, res.hostState)),
+        Future(io.write("ip_state", round, ipCk)),
+        Future(io.write("pages", round, res.pagesDelta)),
+        Future(io.write("phash_seen", round, phashDeltaCk)),
+        Future {
+          import spark.implicits._
+          io.write("metrics", round, Seq(m).toDF())
+        })).map(_ => io.commit(round, configHash, commitMap))
+
+      // next round computes from the in-memory state; re-anchor to committed
+      // parquet periodically to bound plan depth and storage memory
+      state =
+        if (round % reanchorEvery == 0) {
+          Await.result(pendingCommit, Duration.Inf)
+          loadState(round)
+        } else CrawlState(
+          frontier = frontierCk,
+          seen = state.seen.unionByName(res.seenDelta),
+          hostState = res.hostState,
+          ipState = ipCk,
+          phashSeen = state.phashSeen.unionByName(phashDeltaCk))
+
       if (totalPages >= maxUrls || cF == 0) stop = true
       r = round
     }
+    Await.result(pendingCommit, Duration.Inf)
     metrics.toSeq
   }
 

@@ -66,15 +66,28 @@ object CrawlRound {
     }.toDF()
   }
 
+  /** Canonicalize a raw url column into (url, url_hash, host, path_query)
+    * rows, dropping invalid and duplicate URLs — distributed, so a seed list
+    * of millions bootstraps in parallel (≙ S1 seed reader + sieve entry). */
+  private def canonicalizedUrls(raw: DataFrame): DataFrame = {
+    val parseUdf = udf { (u: String) =>
+      UrlNorm.parse(u).map(p => (p.canonical, p.host, p.pathQuery)).orNull
+    }
+    raw.select(parseUdf(col("url")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p._1").as("url"), col("p._2").as("host"), col("p._3").as("path_query"))
+      .withColumn("url_hash", xxhash64(col("url")))
+      .dropDuplicates("url_hash")
+  }
+
   /** Bootstrap state from a seed list (≙ frontier.clj:193-202: seeds enter
     * the sieve and the url cache). Returned as "round 0" state. */
   def bootstrap(spark: SparkSession, web: SynthWeb, cfg: CrawlConfig,
-                seedUrls: Seq[String]): CrawlState = {
+                seedUrls: DataFrame): CrawlState = {
     import spark.implicits._
-    val canon = seedUrls.flatMap(UrlNorm.canonicalize).distinct
-    val seeds = canon.flatMap { cu =>
-      UrlNorm.parse(cu).map(p => (cu, UrlNorm.urlHash(cu), p.host, p.pathQuery))
-    }.toDF("url", "url_hash", "host", "path_query")
+    val seeds = canonicalizedUrls(seedUrls)
+      .select("url", "url_hash", "host", "path_query")
+      .localCheckpoint()
     val fifo = Window.partitionBy(col("host")).orderBy(col("url_hash"))
     val hostState = discoverHosts(spark, seeds.select("host").distinct(), web, cfg)
     // seeds obey robots too (the reference leaves this as a TODO —
@@ -117,54 +130,71 @@ object CrawlRound {
       col("url"), col("url_hash"), col("host"), lit(roundIdx).as("round"),
       col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
       col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
+    // dup flags computed on a NARROW projection (never shuffle image bytes
+    // through the phash window), checkpointed once, then joined back — the
+    // pages and phash_seen writes both reuse the flags without recompute
     val phashW = Window.partitionBy(col("phash")).orderBy(col("url_hash"))
-    val pagesDelta = pagesRaw
+    val phFlags = pagesRaw.select("url_hash", "phash")
       .withColumn("phash_rn", row_number().over(phashW))
       .join(state.phashSeen.select(col("phash")).distinct()
         .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
       .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
-      .drop("phash_rn", "ph_seen")
-    val phashSeenDelta = pagesDelta.filter(!col("phash_dup"))
-      .select(col("phash")).distinct()
+      .select("url_hash", "phash_dup")
+      .localCheckpoint()
+    val pagesDelta = pagesRaw.join(phFlags, Seq("url_hash")) // AQE broadcasts the flags
+    val phashSeenDelta = pagesRaw.select("url_hash", "phash")
+      .join(phFlags, Seq("url_hash"))
+      .filter(!col("phash_dup")).select(col("phash")).distinct()
 
     // ---- link extraction + canonicalization (X1, X2) ----
     val rawLinks = fetched.filter(col("status") === 200)
       .select(explode(linkStructsUdf(web)(col("url"))).as("l"))
       .select(col("l._1").as("url"), col("l._2").as("host"), col("l._3").as("path_query"))
       .withColumn("url_hash", xxhash64(col("url")))
-    val batch = SeenSet.dedupeBatch(rawLinks)
+    // checkpoint: the UDF-canonicalize + dedupe chain over ~degree×pages
+    // links is the most expensive stage of a round — without this both the
+    // host-discovery job and the sieve job recompute it from scratch
+    val batch = SeenSet.dedupeBatch(rawLinks).localCheckpoint()
 
     // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
     val newHostNames = batch.select("host").distinct()
       .join(state.hostState.select("host"), Seq("host"), "left_anti")
     val newHosts = discoverHosts(spark, newHostNames, web, cfg).localCheckpoint()
 
-    // ---- admission: robots filter + per-host cap (X4, F1, F2) ----
+    // ---- admission: robots filter (X6, broadcast) then the sieve, THEN the
+    // per-host cap + FIFO seq in ONE window pass (X4, F1, D1-D5).
+    // Shuffle discipline: dedupeBatch partitions by url_hash; the exact
+    // anti-join reuses that partitioning (no extra shuffle); the robots
+    // filter is a broadcast join (no shuffle); cap_rn and seq_no share one
+    // host-window (one shuffle). Capping after the sieve also makes
+    // enqueued_count count actual frontier additions, matching the
+    // distributor's intent (distributor.clj:41-47).
     val hostDims = state.hostState.select("host", "status", "disallow", "enqueued_count")
       .unionByName(newHosts.select("host", "status", "disallow", "enqueued_count"))
+    // shuffle-hash, not broadcast: at web scale the host dimension is 10^8+
+    // rows, and even here the per-round driver-side broadcast build is
+    // serial time the shuffle avoids
     val admissible = batch
-      .join(broadcast(hostDims), Seq("host"))
+      .join(hostDims.hint("shuffle_hash"), Seq("host"))
       .filter(col("status") === "live")
       .filter(expr("not exists(disallow, d -> startswith(path_query, d))"))
-    val capW = Window.partitionBy(col("host")).orderBy(col("url_hash"))
-    val capped = admissible
-      .withColumn("cap_rn", row_number().over(capW))
-      .filter(col("cap_rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
-      .select("url", "url_hash", "host", "path_query")
 
-    // ---- the sieve: once and once only (D1-D5) ----
-    // the approximate pre-filter only pays for itself once the seen table is
-    // large (it skips the exact anti-join shuffle for definite-new links);
-    // below the threshold the plain anti-join is cheaper than building it
+    // the sieve: once and once only. The approximate pre-filter only pays
+    // for itself once the seen table is large (it skips the exact anti-join
+    // shuffle for definite-new links); below the threshold the plain
+    // anti-join is cheaper than building it
     val usePrefilter = cfg.bloomPrefilter && expectedSeen > 500000L
-    val fresh = SeenSet.sieve(capped, state.seen,
+    val fresh = SeenSet.sieve(admissible, state.seen,
       usePrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
 
-    // new frontier rows — per-host FIFO seq_no monotone across rounds
-    // (SURVEY.md §7 hard part 3); 24 bits of in-round rank is ample under
-    // the 500-per-host cap.
+    // per-host cap + FIFO seq_no in one window: rn counts new-once-ever URLs
+    // per host; the cap filter keeps a prefix, so rn doubles as the FIFO
+    // rank. seq_no stays monotone per host across rounds (SURVEY.md §7 hard
+    // part 3); 24 bits of in-round rank is ample under the per-host cap.
+    val capW = Window.partitionBy(col("host")).orderBy(col("url_hash"))
     val newRows = fresh
       .withColumn("rn", row_number().over(capW))
+      .filter(col("rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
       .select(col("url"), col("url_hash"), col("host"), col("path_query"),
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
         lit(0).as("priority"), lit(roundIdx).as("round_added"))

@@ -28,7 +28,19 @@ final class SynthWeb(cfg: CrawlConfig) extends Serializable {
     s"http://${hostName(hostIdx)}$path"
   }
 
-  def seeds(n: Int): Seq[String] = (0 until n).map(i => url(i % cfg.numHosts, 0L))
+  /** n seed URLs spread across hosts, then across pages within a host (so
+    * n > numHosts yields distinct URLs, filling per-host queues). */
+  def seeds(n: Int): Seq[String] =
+    (0 until n).map(i => url(i % cfg.numHosts, (i / cfg.numHosts).toLong))
+
+  /** Same seed list, generated distributed (for large n). */
+  def seedsDf(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val self = this
+    spark.range(0, n).repartition(32)
+      .map(i => self.url((i % cfg.numHosts).toInt, i / cfg.numHosts))
+      .toDF("url")
+  }
 
   /** Zipf-ish skewed host pick: quadratic warp concentrates mass on low
     * indices — exercises hot-host skew (SURVEY.md §7 hard part 4). */
