@@ -210,6 +210,16 @@ object SparkEntry {
         .select("vec_id", "rank")
     },
 
+    "q_ann_ivf" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).toArray
+      val top = Ann.ivfTopK(emb, "vec_id", "embedding", q, 10, nlist = 16, nprobe = 4)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+        .select("vec_id", "rank")
+    },
+
     "q_ann_lsh" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -369,6 +379,27 @@ object SparkEntry {
     "q_ann_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          |s AS (SELECT vec_id, ${duckCos("embedding", "qe")} AS sim FROM embeddings, q)
+         |SELECT vec_id, rank FROM (
+         |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
+         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.embedding", "c.cvec")} DESC, c.cid) AS crn
+         |    FROM embeddings e, cent c) WHERE crn = 1),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY ${duckCos("q.qe", "c.cvec")} DESC, c.cid) AS prn
+         |    FROM cent c, q) WHERE prn <= 4),
+         |s AS (
+         |  SELECT e.vec_id, ${duckCos("e.embedding", "q.qe")} AS sim
+         |  FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+         |  JOIN probes p ON a.cid = p.cid, q)
          |SELECT vec_id, rank FROM (
          |  SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id) AS rank FROM s)
          |WHERE rank <= 10""".stripMargin,

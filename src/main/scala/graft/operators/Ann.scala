@@ -67,4 +67,35 @@ object Ann {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF-style ANN: vectors are assigned to the nearest of `nlist` centroid
+    * cells (training-free seeding: the centroids are the vectors with the
+    * `nlist` smallest ids — deterministic, no k-means dependency); a query
+    * probes its `nprobe` closest cells and ranks exactly within them. At
+    * scale the assignment is precomputed and the cell id becomes a partition
+    * key, so a query reads only nprobe/nlist of the corpus.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qLit = typedLit(query.toSeq)
+    val cent = df.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val assignW = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid"))
+    val assigned = df.crossJoin(cent)
+      .withColumn("csim", cosine(col(vecCol), col("cvec")))
+      .withColumn("crn", row_number().over(assignW))
+      .filter(col("crn") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val probeW = Window.orderBy(col("qsim").desc, col("cid"))
+    val probes = cent
+      .withColumn("qsim", cosine(qLit, col("cvec")))
+      .withColumn("prn", row_number().over(probeW))
+      .filter(col("prn") <= nprobe)
+      .select("cid")
+    assigned.join(probes, Seq("cid"), "left_semi")
+      .select(col(idCol), cosine(col(vecCol), qLit).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }
