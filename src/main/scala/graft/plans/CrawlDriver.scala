@@ -75,12 +75,17 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     var r = startRound
     var state = loadState(startRound)
     var hostsPrev = countsOf(startRound).getOrElse("host_state", 0L)
+    // adaptive front sizing (F3): the keepalive batch for the next round is
+    // a pure function of committed counts, recorded in the manifest so a
+    // resumed run uses the same value (bit-identity preserved)
+    var batch = countsOf(startRound).getOrElse("keepalive", cfg.keepAliveBatch.toLong).toInt
     var pendingCommit: Future[Unit] = Future.successful(())
     var stop = false
     while (r < startRound + maxRounds && !stop) {
       val t0 = System.nanoTime()
       val round = r + 1
-      val res = CrawlRound.run(spark, state, corpus, web, cfg, round, seenTotal)
+      val res = CrawlRound.run(spark, state, corpus, web,
+        cfg.copy(keepAliveBatch = batch), round, seenTotal)
 
       // materialize next-round state eagerly (concurrently with the previous
       // round's still-flushing writes)
@@ -115,9 +120,12 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       // wait out the previous round's commit (manifests are ordered), then
       // launch this round's writes + commit in the background
       Await.result(pendingCommit, Duration.Inf)
+      // grow the batch when the round dequeues far less than the backlog
+      // suggests it could (≙ required-front-size growth on starvation)
+      batch = graft.operators.Scheduler.adaptBatch(batch, dequeuedCnt, cF / 4)
       val commitMap = Map("frontier" -> cF, "seen_delta" -> cSeenDelta,
         "seen_total" -> seenTotal, "host_state" -> cH,
-        "pages" -> cP, "pages_total" -> totalPages)
+        "pages" -> cP, "pages_total" -> totalPages, "keepalive" -> batch.toLong)
       // checkpoint blocks of finished rounds are NOT unpersisted explicitly:
       // the next round's state still references several of them (frontier,
       // host state, seen-delta unions); Spark's ContextCleaner frees each

@@ -187,12 +187,24 @@ object CrawlRound {
     val fresh = SeenSet.sieve(admissible, state.seen,
       usePrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
 
-    // per-host cap + FIFO seq_no in one window: rn counts new-once-ever URLs
-    // per host; the cap filter keeps a prefix, so rn doubles as the FIFO
-    // rank. seq_no stays monotone per host across rounds (SURVEY.md §7 hard
-    // part 3); 24 bits of in-round rank is ample under the per-host cap.
+    // per-host cap + FIFO seq_no. Hot-host skew defusal (north rule): a Zipf
+    // web can point millions of links at one host, which would make the
+    // host-window's partition unbounded — so rank first within
+    // (host, salt) partitions and discard anything beyond the cap there
+    // (global rank <= cap implies salt rank <= cap), which bounds the final
+    // host-window to salts*cap rows per host no matter how hot the host.
+    val saltW = Window.partitionBy(col("host"), col("salt")).orderBy(col("url_hash"))
+    val preCapped = fresh
+      .withColumn("salt", pmod(col("url_hash"), lit(cfg.saltsPerHotHost)))
+      .withColumn("salt_rn", row_number().over(saltW))
+      .filter(col("salt_rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
+      .drop("salt", "salt_rn")
+    // final rank: rn counts new-once-ever URLs per host; the cap filter
+    // keeps a prefix, so rn doubles as the FIFO rank. seq_no stays monotone
+    // per host across rounds (SURVEY.md §7 hard part 3); 24 bits of in-round
+    // rank is ample under the per-host cap.
     val capW = Window.partitionBy(col("host")).orderBy(col("url_hash"))
-    val newRows = fresh
+    val newRows = preCapped
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
       .select(col("url"), col("url_hash"), col("host"), col("path_query"),
