@@ -1,0 +1,45 @@
+package graft
+
+import graft.plans.CrawlDriver
+import graft.sources.SynthWeb
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Golden end-to-end (SURVEY.md §5): a fixed seed list + politeness budget
+  * must reproduce the EXACT crawl ordering and final URL-seen set — pinned
+  * as fingerprints, so any unintended semantic drift (not just
+  * non-determinism) fails the build. Update the constants deliberately when
+  * round semantics change on purpose.
+  */
+class GoldenSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val cfg = CrawlConfig(
+    numHosts = 12, pagesPerHost = 24, outDegree = 5,
+    corpusSize = 48, imageSize = 16, numBuckets = 8,
+    keepAliveBatch = 2, maxUrlsPerHost = 30, brokenHostFraction = 0.1)
+
+  /** Order-sensitive fold over sorted rows — any change in membership OR
+    * per-round ordering changes the value. */
+  private def fingerprint(rows: Seq[(Long, Int)]): Long =
+    rows.sorted.foldLeft(0L) { case (acc, (h, r)) =>
+      functions.Hashing.splitmix64(acc ^ h ^ (r.toLong << 48))
+    }
+
+  test("pinned crawl ordering and seen set for the golden config") {
+    val web = new SynthWeb(cfg)
+    val dir = Files.createTempDirectory("golden").toString
+    val d = new CrawlDriver(spark, cfg, dir)
+    d.run(web.seeds(8), maxRounds = 4, maxUrls = Long.MaxValue)
+    val r = d.latestRound().get
+    val pagesFp = fingerprint(d.pages(r).select("url_hash", "round").collect()
+      .map(x => (x.getLong(0), x.getInt(1))).toSeq)
+    val seenFp = fingerprint(d.seen(r).select("url_hash").collect()
+      .map(x => (x.getLong(0), 0)).toSeq)
+    // golden values — printed on mismatch for deliberate updates
+    val expectedPages = 8711852166827786027L
+    val expectedSeen = 5799546746063578329L
+    assert(pagesFp == expectedPages && seenFp == expectedSeen,
+      s"golden mismatch: pagesFp=${pagesFp}L seenFp=${seenFp}L")
+  }
+}
