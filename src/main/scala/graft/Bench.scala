@@ -84,12 +84,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val crawlRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
 
-    // part 1: operator queries
+    // part 1: operator queries. A failed query records the sentinel -1.0
+    // (never a plausible timing) and prints the error — a broken query must
+    // not masquerade as a fast pass in the bench record.
     val spark = session(cpus)
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          name -> -1.0
+      }
     }
     spark.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -110,8 +120,9 @@ object Bench {
     val eff = (upsHi / upsLo) / (hiCores.toDouble / loCores)
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val errJson = errors.map(e => s""""$e"""").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":$urlsLo,"sec_lo":$secLo%.2f,"ups_lo":$upsLo%.1f,"cores_lo":$loCores,"cpu_lo":$cpuLo%.1f,"urls_hi":$urlsHi,"sec_hi":$secHi%.2f,"ups_hi":$upsHi%.1f,"cores_hi":$hiCores,"cpu_hi":$cpuHi%.1f,"scaling_efficiency":$eff%.3f}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":$urlsLo,"sec_lo":$secLo%.2f,"ups_lo":$upsLo%.1f,"cores_lo":$loCores,"cpu_lo":$cpuLo%.1f,"urls_hi":$urlsHi,"sec_hi":$secHi%.2f,"ups_hi":$upsHi%.1f,"cores_hi":$hiCores,"cpu_hi":$cpuHi%.1f,"scaling_efficiency":$eff%.3f}}""")
   }
 }

@@ -56,7 +56,18 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
   def run(seedUrls: DataFrame, maxRounds: Int, maxUrls: Long): Seq[RoundMetrics] = {
     val corpus = corpusWithIdx()
     val startRound = io.latestRound() match {
-      case Some(r) => r
+      case Some(r) =>
+        // resume guard: committed state was produced under exactly one config;
+        // continuing with a different one (seed, host counts, delays, bucket
+        // layout) would silently break the bit-identity contract the manifest
+        // hash exists to protect. Fail fast instead.
+        val committed = """"config_hash":\s*"([^"]+)"""".r
+          .findFirstMatchIn(io.readManifest(r)).map(_.group(1))
+        require(committed.contains(configHash),
+          s"resume refused: workDir $workDir was committed under config_hash " +
+            s"${committed.getOrElse("?")} but the current config hashes to $configHash; " +
+            "use a fresh workDir (or the original CrawlConfig) to preserve determinism")
+        r
       case None =>
         val st = CrawlRound.bootstrap(spark, web, cfg, seedUrls)
         val cF = io.writeSnapshot("frontier", 0, st.frontier)
@@ -93,28 +104,38 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       val ipCk = res.ipState.localCheckpoint()
       val phashDeltaCk = res.phashSeenDelta.localCheckpoint()
 
-      // metrics from one aggregate over the cached fetch output
-      val fstats = res.cached.head.agg(
+      // metrics: four independent aggregates over already-checkpointed data —
+      // run them as CONCURRENT jobs (was ~4 serial driver round-trips; the
+      // per-round serial remainder caps scaling efficiency, VERDICT r1 #1b)
+      val fF = Future(res.cached.head.agg(
         count(lit(1)),
         sum(when(col("status") === -1, 1L).otherwise(0L)),
-        sum(when(col("status") === 200, 1L).otherwise(0L))).head()
+        sum(when(col("status") === 200, 1L).otherwise(0L)),
+        countDistinct(col("host"))).head())
+      val fH = Future(res.hostState.agg(
+        count(lit(1)), sum(when(col("status") === "dead", 1L).otherwise(0L))).head())
+      val fCF = Future(frontierCk.count())
+      val fSeen = Future(res.seenDelta.count()) // view of checkpointed newRows
+      val fLinks = Future(res.links.count())
+      val fstats = Await.result(fF, Duration.Inf)
       val dequeuedCnt = fstats.getLong(0)
       val fetchErrors = if (fstats.isNullAt(1)) 0L else fstats.getLong(1)
       val cP = if (fstats.isNullAt(2)) 0L else fstats.getLong(2)
-      val hstats = res.hostState.agg(
-        count(lit(1)), sum(when(col("status") === "dead", 1L).otherwise(0L))).head()
+      val hostsActive = fstats.getLong(3)
+      val hstats = Await.result(fH, Duration.Inf)
       val cH = hstats.getLong(0)
       val hostsPurged = if (hstats.isNullAt(1)) 0L else hstats.getLong(1)
       val hostsNew = cH - hostsPrev
       hostsPrev = cH
-      val cF = frontierCk.count()
-      val cSeenDelta = res.seenDelta.count() // seenDelta is a view of checkpointed newRows
+      val cF = Await.result(fCF, Duration.Inf)
+      val cSeenDelta = Await.result(fSeen, Duration.Inf)
+      val linksExtracted = Await.result(fLinks, Duration.Inf)
       seenTotal += cSeenDelta
       totalPages += cP
 
       val m = RoundMetrics(round, round.toLong * cfg.roundTickMs, dequeuedCnt,
-        cP, fetchErrors, 0L, cSeenDelta, dequeuedCnt, hostsNew, hostsPurged,
-        (System.nanoTime() - t0) / 1000000L)
+        cP, fetchErrors, linksExtracted, cSeenDelta, hostsActive, hostsNew,
+        hostsPurged, (System.nanoTime() - t0) / 1000000L)
       metrics += m
 
       // wait out the previous round's commit (manifests are ordered), then

@@ -22,6 +22,7 @@ final case class CrawlState(
 final case class RoundResult(
     frontier: DataFrame, seenDelta: DataFrame, hostState: DataFrame,
     ipState: DataFrame, pagesDelta: DataFrame, phashSeenDelta: DataFrame,
+    links: DataFrame,       // deduped extracted links (checkpointed; metrics)
     cached: Seq[DataFrame]) // intermediates to unpersist after commit
 
 /** One crawl round as a single deterministic Dataset pipeline (north rule):
@@ -269,6 +270,7 @@ object CrawlRound {
     val seenDelta = newRows.select(col("url_hash"), col("url"))
 
     RoundResult(frontierNew, seenDelta, hostStateNew, ipStateNew, pagesDelta,
-      phashSeenDelta, cached = Seq(fetched, newHosts, newRows, hostStateNew))
+      phashSeenDelta, links = batch,
+      cached = Seq(fetched, newHosts, newRows, hostStateNew))
   }
 }

@@ -19,7 +19,13 @@ import org.apache.spark.sql.{Dataset, SparkSession}
 final class SynthWeb(cfg: CrawlConfig) extends Serializable {
 
   def hostName(i: Int): String = f"host-$i%06d.test"
-  def hostIndex(host: String): Int = host.stripPrefix("host-").takeWhile(_.isDigit).toInt
+
+  /** Total: non-synthetic hostnames (a real seed file mixed in) map
+    * deterministically into the host space by hash instead of crashing the
+    * bootstrap with a NumberFormatException inside an executor. */
+  def hostIndex(host: String): Int =
+    host.stripPrefix("host-").takeWhile(_.isDigit).toIntOption
+      .getOrElse(Hashing.pmod(Hashing.xxhash64(host), cfg.numHosts.toLong).toInt)
 
   def url(hostIdx: Int, page: Long): String = {
     val p = Hashing.pmod(page, cfg.pagesPerHost.toLong)
