@@ -62,7 +62,8 @@ object SparkEntry {
 
   // =====================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // ---- relational core (Catalyst showcase: pushdown, broadcast, window) --
     "q01_pricing_summary" -> ((s, d) =>
@@ -255,6 +256,47 @@ object SparkEntry {
     "q_binary_len" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("long").as("byte_len")))
+
+  ) ++ extractionQueries
+
+  /** HTML extraction (X1/X5): the REAL parser over synthesized pages full of
+    * parser traps (comment/script/style decoys, a nofollow anchor, entities);
+    * the oracle states the trap-free ground truth in closed form. */
+  private def extractionQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_extract_links" -> { (s, d) =>
+      import graft.functions.Html
+      val html = concat(
+        lit("""<html><head><title>Doc</title><style>a{}/* <a href="/sd">x</a> */</style></head><body>"""),
+        lit("""<!-- <a href="/decoy">x</a> --><script>var a='<a href="/sdecoy">s</a>';</script>"""),
+        lit("""<a rel="nofollow" href="/nf">nf</a>"""),
+        lit("""<a href="/doc/"""), pmod(col("doc_id") * 31 + 1, lit(1000)).cast("string"), lit("""">a</a>"""),
+        lit("""<a href="/doc/"""), pmod(col("doc_id") * 31 + 2, lit(1000)).cast("string"), lit("""">b</a>"""),
+        lit("""<a href="http://other.test/doc/"""), pmod(col("doc_id") * 31 + 3, lit(1000)).cast("string"), lit("""">c</a>"""),
+        lit("</body></html>"))
+      val pageUrl = concat(lit("http://docs.test/page/"), col("doc_id").cast("string"))
+      val exUdf = udf((h: String, u: String) => Html.extractLinks(h, u))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(exUdf(html, pageUrl)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("link"))
+    },
+
+    "q_extract_text" -> { (s, d) =>
+      import graft.functions.Html
+      val html = concat(
+        lit("<html><head><title>T</title><script>junk()</script></head><body><h1>"),
+        col("source"), lit("</h1><p>"), col("text"), lit("</p><!-- c --></body></html>"))
+      val txtUdf = udf((h: String) => Html.extractText(h))
+      t(s, d, "documents").select(col("doc_id"), txtUdf(html).as("txt"))
+    },
+
+    "q_extract_title" -> { (s, d) =>
+      import graft.functions.Html
+      val html = concat(lit("<html><head><title>  Doc "),
+        col("doc_id").cast("string"), lit(" &amp; more </title><body>x</body></html>"))
+      val titleUdf = udf((h: String) => Html.extractTitle(h))
+      t(s, d, "documents").select(col("doc_id"), titleUdf(html).as("title"))
+    }
   )
 
   // =====================================================================
@@ -438,6 +480,18 @@ object SparkEntry {
       s"SELECT doc_id, ${TextAnalysis.fingerprintSqlDuck("text")} AS fp FROM documents",
 
     "q_binary_len" ->
-      "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents"
+      "SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents",
+
+    "q_extract_links" ->
+      """SELECT doc_id, (j - 1)::BIGINT AS pos,
+        |  CASE WHEN j <= 2 THEN 'http://docs.test/doc/' || (doc_id * 31 + j) % 1000
+        |       ELSE 'http://other.test/doc/' || (doc_id * 31 + j) % 1000 END AS link
+        |FROM documents, unnest([1, 2, 3]) AS t(j)""".stripMargin,
+
+    "q_extract_text" ->
+      "SELECT doc_id, 'T ' || source || ' ' || text AS txt FROM documents",
+
+    "q_extract_title" ->
+      "SELECT doc_id, 'Doc ' || doc_id || ' & more' AS title FROM documents"
   )
 }

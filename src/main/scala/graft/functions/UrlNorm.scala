@@ -69,13 +69,14 @@ object UrlNorm {
     val host = hostRaw.toLowerCase(Locale.ROOT)
     val defaultPort = if (scheme == "https") 443 else 80
     val normPort = if (port == defaultPort) -1 else port
-    // normalize path+query
+    // normalize path+query: percent-normalize FIRST (decoded %2E dots then
+    // participate in dot-segment resolution), then resolve segments
     val qIdx = pathAndQuery.indexOf('?')
     val (rawPath, query) =
       if (qIdx >= 0) (pathAndQuery.substring(0, qIdx), pathAndQuery.substring(qIdx))
       else (pathAndQuery, "")
-    val path = normalizePath(if (rawPath.isEmpty) "/" else rawPath)
-    Some(ParsedUrl(scheme, host, normPort, upperPercent(path + query)))
+    val path = normalizePath(normalizePercent(if (rawPath.isEmpty) "/" else rawPath))
+    Some(ParsedUrl(scheme, host, normPort, path + normalizePercent(query)))
   }
 
   /** Collapse "//", resolve "." and "..". Always returns a leading-"/" path. */
@@ -90,19 +91,49 @@ object UrlNorm {
     "/" + out.mkString("/") + (if (trailingSlash) "/" else "")
   }
 
-  /** Uppercase hex digits of percent escapes (RFC 3986 normalization). */
-  private def upperPercent(s: String): String = {
-    if (!s.contains('%')) return s
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** RFC 3986 unreserved set — the only escapes safe to decode. */
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+      c == '-' || c == '.' || c == '_' || c == '~'
+
+  /** Characters legal as-is in a path/query (pchar + '/' + '?'). */
+  private def isLegalRaw(c: Char): Boolean =
+    isUnreserved(c) || "!$&'()*+,;=:@/?".indexOf(c.toInt) >= 0
+
+  /** Full RFC 3986 percent normalization (≙ lambdaisland normalize,
+    * reference `util/url.clj:46-53`): decode escapes of UNRESERVED chars
+    * (`%41` ≡ `A`), uppercase the hex of every other escape, and
+    * percent-encode (UTF-8) characters that are illegal raw (spaces,
+    * controls, non-ASCII, stray `%`). Idempotent by construction: the output
+    * alphabet is legal-raw chars + uppercase escapes of non-unreserved
+    * values, both of which map to themselves. */
+  private[graft] def normalizePercent(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        sb.append('%')
+      if (c == '%' && i + 2 < s.length && isHexDigit(s.charAt(i + 1)) && isHexDigit(s.charAt(i + 2))) {
+        val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        if (v < 128 && isUnreserved(v.toChar)) sb.append(v.toChar)
+        else sb.append('%')
           .append(Character.toUpperCase(s.charAt(i + 1)))
           .append(Character.toUpperCase(s.charAt(i + 2)))
         i += 3
-      } else { sb.append(c); i += 1 }
+      } else if (isLegalRaw(c) && c != '%') {
+        sb.append(c); i += 1
+      } else {
+        // encode by code point (surrogate pairs as one UTF-8 sequence)
+        val cp =
+          if (Character.isHighSurrogate(c) && i + 1 < s.length &&
+            Character.isLowSurrogate(s.charAt(i + 1))) {
+            i += 2; new String(Array(c, s.charAt(i - 1))).codePointAt(0)
+          } else { i += 1; c.toInt }
+        new String(Character.toChars(cp)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"%%${b & 0xFF}%02X"))
+      }
     }
     sb.toString
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.CrawlConfig
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The fetch stage (SURVEY.md §2.6), grafted: "fetching" a URL is a
@@ -20,26 +20,71 @@ import org.apache.spark.sql.functions._
 object Fetch {
 
   /** Per-error retry policy (≙ `/root/reference/src/clj/ramper/constants.clj:
-    * 6-43`: per-exception wait + max retries + killer set). */
+    * 6-43`: per-exception wait time, per-exception max retries with a default
+    * of 5, and a killer set; applied `workers/fetching_thread.clj:86-120` —
+    * retry while retries < max, then purge the host if the error class is a
+    * killer, else drop the failing URL and carry on). Error classes are
+    * strings here (the column value); waits are scaled to the engine's
+    * logical clock rather than the reference's wall-clock hours. */
   final case class ErrorPolicy(waitMs: Long, maxRetries: Int, killer: Boolean)
+  val defaultPolicy: ErrorPolicy = ErrorPolicy(8000L, 5, killer = false)
   val errorPolicies: Map[String, ErrorPolicy] = Map(
-    "connect_timeout" -> ErrorPolicy(8000L, 3, false),
-    "unknown_host"    -> ErrorPolicy(60000L, 2, true))
+    // killer classes: host purged once the retry budget is exhausted
+    "connect_timeout"     -> ErrorPolicy(4000L, 2, killer = true),
+    "unknown_host"        -> ErrorPolicy(8000L, 2, killer = true),
+    "no_route_to_host"    -> ErrorPolicy(16000L, 5, killer = true),
+    "socket_error"        -> ErrorPolicy(8000L, 5, killer = true),
+    "ssl_peer_unverified" -> ErrorPolicy(8000L, 0, killer = true),
+    // transient classes: retry, then give up on the URL but keep the host
+    "socket_timeout"      -> ErrorPolicy(8000L, 5, killer = false),
+    "connection_closed"   -> ErrorPolicy(4000L, 2, killer = false),
+    "no_http_response"    -> ErrorPolicy(4000L, 2, killer = false),
+    "truncated_chunk"     -> ErrorPolicy(4000L, 1, killer = false),
+    "malformed_chunk"     -> ErrorPolicy(4000L, 1, killer = false),
+    // redirect loops: the URL is hopeless immediately, the host is fine
+    "circular_redirect"   -> ErrorPolicy(0L, 0, killer = false),
+    "redirect_exception"  -> ErrorPolicy(0L, 0, killer = false))
+
+  /** Deterministic order for hashing an error class onto a broken host. */
+  val errorClasses: IndexedSeq[String] = errorPolicies.keys.toIndexedSeq.sorted
+
+  /** Catalyst lookup columns over an error-class string column — the policy
+    * table as `when` chains (codegen'd; no join, no UDF). */
+  def policyWait(err: Column): Column =
+    errorPolicies.foldLeft(lit(defaultPolicy.waitMs)) { case (acc, (k, p)) =>
+      when(err === k, lit(p.waitMs)).otherwise(acc)
+    }
+  def policyMaxRetries(err: Column): Column =
+    errorPolicies.foldLeft(lit(defaultPolicy.maxRetries)) { case (acc, (k, p)) =>
+      when(err === k, lit(p.maxRetries)).otherwise(acc)
+    }
+  def policyKiller(err: Column): Column =
+    errorPolicies.foldLeft(lit(defaultPolicy.killer)) { case (acc, (k, p)) =>
+      when(err === k, lit(p.killer)).otherwise(acc)
+    }
 
   /** @param dequeued scheduler output: frontier cols + (ip, bucket, broken, crawl_delay_ms)
     * @param corpusWithIdx corpus table + `corpus_idx` long column
     * @return dequeued cols + (status, error, fetch_ts, image payload cols; payload
     *         null unless status=200)
     */
-  def run(dequeued: DataFrame, corpusWithIdx: DataFrame,
+  def run(dequeued: DataFrame, corpusWithIdx: DataFrame, web: graft.sources.SynthWeb,
           cfg: CrawlConfig, roundTs: Long): DataFrame = {
     val status = when(col("broken"), lit(-1))
       .otherwise(when(pmod(xxhash64(col("url_hash")), lit(50)) === 0, lit(404))
         .otherwise(lit(200)))
+    // broken hosts fail with a deterministic per-host error CLASS so the full
+    // policy table (retry waits, killer purges, URL drops) is exercised
+    val errClassUdf = udf((h: String) => web.errorClass(h))
+    // synthetic Set-Cookie: the server hands each host a stable session token
+    // (G3 plumbing — the jar lives on host_state and is budget-truncated)
     val attempted = dequeued
       .withColumn("status", status)
       .withColumn("error",
-        when(col("status") === -1, lit("connect_timeout")).otherwise(lit(null).cast("string")))
+        when(col("status") === -1, errClassUdf(col("host"))).otherwise(lit(null).cast("string")))
+      .withColumn("set_cookie",
+        when(col("status") === 200, concat(lit("sid="), hex(xxhash64(col("host")))))
+          .otherwise(lit(null).cast("string")))
       .withColumn("fetch_ts", lit(roundTs))
       .withColumn("pick",
         when(col("status") === 200, pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))

@@ -65,7 +65,17 @@ object Scheduler {
     * @return frontier columns + (ip, bucket, crawl_delay_ms) of the chosen rows
     */
   def dequeue(frontier: DataFrame, hostState: DataFrame, ipState: DataFrame,
-              roundTs: Long, cfg: CrawlConfig): DataFrame = {
+              roundTs: Long, cfg: CrawlConfig, frontSize: Long = 1L): DataFrame = {
+    // P6 — the path-query-limit feeds the per-host refill cutoff (≙ the
+    // refill bound of workbench.clj:209-223): the delay term is per-host
+    // (robots crawl-delay differs by host), the memory term is a scalar of
+    // (workbench budget, entry size ≈ keepalive batch, current front size).
+    val byDelay = when(col("crawl_delay_ms") <= 0, lit(Long.MaxValue))
+      .otherwise((lit(300000L) / col("crawl_delay_ms")).cast("long"))
+    val byMemory = math.max(4L, math.ceil(cfg.workbenchMaxUrls.toDouble /
+      (math.max(cfg.keepAliveBatch, 1).toDouble * math.max(frontSize, 1L))).toLong)
+    val perHostLimit = greatest(lit(1L),
+      least(lit(cfg.keepAliveBatch.toLong), least(byDelay, lit(byMemory))))
     // only hosts with queued URLs compete for their IP's slot — the workbench
     // invariant "visit states on the workbench are nonempty" (workbench.clj:
     // 16-30); otherwise an empty host could starve its politeness domain
@@ -87,12 +97,13 @@ object Scheduler {
       .withColumn("host_rn", row_number().over(hostRank))
       .filter(col("host_rn") === 1)
       .drop("host_rn", "host_next_fetch")
-    // keepalive batch: first b queued URLs of each chosen host, FIFO
+    // keepalive batch: first min(b, path-query-limit) queued URLs of each
+    // chosen host, FIFO (P5 + P6)
     val fifo = Window.partitionBy(col("host")).orderBy(col("seq_no"))
     frontier
       .join(chosenHosts, Seq("host"))
       .withColumn("rn", row_number().over(fifo))
-      .filter(col("rn") <= lit(cfg.keepAliveBatch))
+      .filter(col("rn") <= perHostLimit)
       .drop("rn")
   }
 }

@@ -24,9 +24,11 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * (committed state, round index, config). Every K rounds the in-memory
   * state re-anchors to the committed Parquet (bounds plan depth and memory).
   */
-final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: String) {
+final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: String,
+                        extractor: Option[graft.operators.LinkExtractor] = None) {
   private val io = new TableIO(workDir, spark)
   private val web = new SynthWeb(cfg)
+  private val linkEx = extractor.getOrElse(new graft.operators.SyntheticLinkExtractor(web))
   private val configHash = cfg.hashCode().toHexString
   private val reanchorEvery = 8
 
@@ -92,11 +94,16 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     var batch = countsOf(startRound).getOrElse("keepalive", cfg.keepAliveBatch.toLong).toInt
     var pendingCommit: Future[Unit] = Future.successful(())
     var stop = false
-    while (r < startRound + maxRounds && !stop) {
+    // external stop: a STOP file in the workDir ends the run at the next
+    // round boundary (≙ the :ramper/runtime-stop poll, agent.clj:106-117)
+    def stopRequested(): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(workDir, "STOP"))
+    while (r < startRound + maxRounds && !stop && !stopRequested()) {
       val t0 = System.nanoTime()
       val round = r + 1
       val res = CrawlRound.run(spark, state, corpus, web,
-        cfg.copy(keepAliveBatch = batch), round, seenTotal)
+        cfg.copy(keepAliveBatch = batch), round, seenTotal,
+        frontSize = math.max(hostsPrev, 1L), extractor = linkEx)
 
       // materialize next-round state eagerly (concurrently with the previous
       // round's still-flushing writes)

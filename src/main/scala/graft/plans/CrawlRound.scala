@@ -2,7 +2,7 @@ package graft.plans
 
 import graft._
 import graft.functions.{Hashing, UrlNorm}
-import graft.operators.{Fetch, Scheduler, SeenSet}
+import graft.operators.{Cookies, Fetch, Robots, Scheduler, SeenSet}
 import graft.sources.SynthWeb
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -36,35 +36,53 @@ final case class RoundResult(
   */
 object CrawlRound {
 
-  /** Canonicalize+split a batch of raw URLs into (url, host, path_query) —
-    * X2 of SURVEY.md (≙ workers/parsing_thread.clj:16-20). */
-  private def linkStructsUdf(web: SynthWeb) = udf { (base: String) =>
-    web.links(base).flatMap(h => UrlNorm.resolve(base, h)).flatMap { cu =>
-      UrlNorm.parse(cu).map(p => (cu, p.host, p.pathQuery))
+  /** Extract + canonicalize + split a page's out-links into
+    * (url, host, path_query) — X1 + X2 of SURVEY.md
+    * (≙ workers/parsing_thread.clj:16-20), extractor-pluggable. */
+  private def linkStructsUdf(ex: operators.LinkExtractor) =
+    udf { (base: String, body: Array[Byte]) =>
+      ex.links(base, body).flatMap { cu =>
+        UrlNorm.parse(cu).map(p => (cu, p.host, p.pathQuery))
+      }
     }
-  }
 
   /** Build HostState rows for newly discovered hosts: synthetic DNS resolve
-    * (≙ workers/dns_resolving.clj:26-68) + robots "fetch" (≙ util/robots.clj)
-    * — both pure functions of the host name in the synthetic web. */
+    * (≙ workers/dns_resolving.clj:26-68) + a robots.txt fetch run through the
+    * REAL parser ([[Robots.parse]] ≙ util/robots.clj:16-56) — the production
+    * code path parses robots text, it does not shortcut to structured rules. */
   private def discoverHosts(spark: SparkSession, hosts: DataFrame,
-                            web: SynthWeb, cfg: CrawlConfig): DataFrame = {
+                            web: SynthWeb, cfg: CrawlConfig, roundTs: Long): DataFrame = {
     import spark.implicits._
     hosts.select("host").as[String].map { h =>
-      val r = web.robots(h)
+      val r = Robots.parse(web.robotsTxt(h))
       HostState(
         host = h,
         ip = web.resolveIp(h),
+        resolved_at = roundTs,
         bucket = Hashing.pmod(Hashing.xxhash64(h), cfg.numBuckets.toLong).toInt,
         broken = web.isBrokenHost(web.hostIndex(h)),
         next_fetch = 0L,
-        crawl_delay_ms = r.crawl_delay_ms,
+        crawl_delay_ms = r.crawlDelaySec.map(_ * 1000L).getOrElse(cfg.hostDelayMs),
         disallow = r.disallow,
         retries = 0,
         last_error = "",
         status = "live",
-        enqueued_count = 0L)
+        enqueued_count = 0L,
+        cookies = Map.empty)
     }.toDF()
+  }
+
+  /** Merge one Set-Cookie header into the host's jar, then truncate to the
+    * byte budget in deterministic (sorted-name) order (G3 ≙ limit-cookies,
+    * fetching_thread.clj:141-150). */
+  private val mergeCookiesUdf = udf {
+    (old: Map[String, String], hdr: String, maxBytes: Int) =>
+      val base = if (old == null) Map.empty[String, String] else old
+      val merged = Option(hdr).filter(_.contains("=")).map { h =>
+        val i = h.indexOf('=')
+        base + (h.substring(0, i) -> h.substring(i + 1))
+      }.getOrElse(base)
+      Cookies.limitCookies(merged.toSeq.sortBy(_._1), maxBytes).toMap
   }
 
   /** Canonicalize a raw url column into (url, url_hash, host, path_query)
@@ -90,7 +108,7 @@ object CrawlRound {
       .select("url", "url_hash", "host", "path_query")
       .localCheckpoint()
     val fifo = Window.partitionBy(col("host")).orderBy(col("url_hash"))
-    val hostState = discoverHosts(spark, seeds.select("host").distinct(), web, cfg)
+    val hostState = discoverHosts(spark, seeds.select("host").distinct(), web, cfg, 0L)
     // seeds obey robots too (the reference leaves this as a TODO —
     // fetching_thread.clj:40-41; the north rule makes it a hard filter)
     val frontier = seeds
@@ -110,18 +128,20 @@ object CrawlRound {
 
   def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
           web: SynthWeb, cfg: CrawlConfig, roundIdx: Int,
-          expectedSeen: Long): RoundResult = {
+          expectedSeen: Long, frontSize: Long = 1L,
+          extractor: operators.LinkExtractor = null): RoundResult = {
+    val ex = Option(extractor).getOrElse(new operators.SyntheticLinkExtractor(web))
     val ts = roundIdx.toLong * cfg.roundTickMs
 
     // ---- dequeue (P1-P6) + fetch (G1-G4) ----
     val dequeued = Scheduler
-      .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg)
+      .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg, frontSize)
       .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
     // eager localCheckpoint (not cache): truncates the logical plan so the
     // driver does not re-analyze the whole round DAG on every downstream
     // action — with ~13 actions/round the repeated Catalyst passes were the
     // dominant serial cost, dwarfing actual task time
-    val fetched = Fetch.run(dequeued, corpusWithIdx, cfg, ts).localCheckpoint()
+    val fetched = Fetch.run(dequeued, corpusWithIdx, web, cfg, ts).localCheckpoint()
 
     // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
     // membership"): duplicate = same phash earlier in this round (window
@@ -148,8 +168,10 @@ object CrawlRound {
       .filter(!col("phash_dup")).select(col("phash")).distinct()
 
     // ---- link extraction + canonicalization (X1, X2) ----
+    // extractors that ignore the payload never pull bytes into this stage
+    val bodyCol = if (ex.needsBody) col("bytes") else lit(null).cast("binary")
     val rawLinks = fetched.filter(col("status") === 200)
-      .select(explode(linkStructsUdf(web)(col("url"))).as("l"))
+      .select(explode(linkStructsUdf(ex)(col("url"), bodyCol)).as("l"))
       .select(col("l._1").as("url"), col("l._2").as("host"), col("l._3").as("path_query"))
       .withColumn("url_hash", xxhash64(col("url")))
     // checkpoint: the UDF-canonicalize + dedupe chain over ~degree×pages
@@ -160,7 +182,7 @@ object CrawlRound {
     // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
     val newHostNames = batch.select("host").distinct()
       .join(state.hostState.select("host"), Seq("host"), "left_anti")
-    val newHosts = discoverHosts(spark, newHostNames, web, cfg).localCheckpoint()
+    val newHosts = discoverHosts(spark, newHostNames, web, cfg, ts).localCheckpoint()
 
     // ---- admission: robots filter (X6, broadcast) then the sieve, THEN the
     // per-host cap + FIFO seq in ONE window pass (X4, F1, D1-D5).
@@ -213,40 +235,71 @@ object CrawlRound {
         lit(0).as("priority"), lit(roundIdx).as("round_added"))
       .localCheckpoint()
 
-    // ---- host state update (P3, P4, G2, F6, N3) ----
+    // ---- host state update (P3, P4, G2, F6, N2, N3) ----
     val hostOutcome = fetched.groupBy(col("host")).agg(
       sum(when(col("status") === 200, 1).otherwise(0)).as("ok_cnt"),
       sum(when(col("status") === -1, 1).otherwise(0)).as("err_cnt"),
-      first(col("error"), ignoreNulls = true).as("err"))
+      first(col("error"), ignoreNulls = true).as("err"),
+      first(col("set_cookie"), ignoreNulls = true).as("cookie_hdr"))
     val newEnq = newRows.groupBy(col("host")).agg(count(lit(1)).as("new_cnt"))
 
-    val policy = Fetch.errorPolicies("connect_timeout")
     val allHosts = state.hostState.unionByName(newHosts)
       .join(hostOutcome, Seq("host"), "left")
       .join(newEnq, Seq("host"), "left")
     val hadErr = coalesce(col("err_cnt"), lit(0L)) > 0
     val hadOk = coalesce(col("ok_cnt"), lit(0L)) > 0
-    val retriesNew = when(hadErr, col("retries") + 1)
-      .when(hadOk, lit(0)).otherwise(col("retries"))
+    // full per-error-class policy (G2 ≙ constants.clj:6-43 applied at
+    // fetching_thread.clj:86-120): first error of a class starts the count,
+    // a repeat increments it, a DIFFERENT class keeps the count; while
+    // retries < max the URL is retried; at exhaustion a killer class purges
+    // the host, a transient class drops the failing URLs and resets.
+    val err = coalesce(col("err"), lit("connect_timeout"))
+    val retriesOnErr = when(col("last_error") === "", lit(0))
+      .when(col("last_error") === err, col("retries") + 1)
+      .otherwise(col("retries"))
+    val exhausted = retriesOnErr >= least(Fetch.policyMaxRetries(err), lit(cfg.maxRetries))
+    val killer = Fetch.policyKiller(err)
     val statusNew = when(col("status") === "dead", lit("dead"))
-      .when(hadErr && retriesNew > lit(math.min(cfg.maxRetries, policy.maxRetries)), lit("dead"))
+      .when(hadErr && exhausted && killer, lit("dead"))
       .otherwise(col("status"))
-    // exponential error backoff, exponent capped (≙ constants.clj wait << retries, N3)
+    // exhausted transient error: give up on those URLs, clear the error
+    // bookkeeping (≙ dequeue-path-query + :last-exception nil)
+    val urlDrop = hadErr && exhausted && !killer
+    val retriesNew = when(urlDrop || hadOk, lit(0))
+      .when(hadErr, retriesOnErr)
+      .otherwise(col("retries"))
+    val lastErrNew = when(urlDrop || hadOk, lit(""))
+      .when(hadErr, err)
+      .otherwise(col("last_error"))
+    // exponential per-class backoff, exponent capped, never below the host's
+    // politeness delay (≙ constants.clj wait << retries, N3)
     val nextFetchNew = when(hadErr,
-        lit(ts) + (lit(policy.waitMs.toDouble) * pow(lit(2.0), least(col("retries"), lit(4)))).cast("long"))
+        lit(ts) + greatest(col("crawl_delay_ms"),
+          (Fetch.policyWait(err).cast("double") * pow(lit(2.0), least(retriesOnErr, lit(4)))).cast("long")))
       .when(hadOk, lit(ts) + col("crawl_delay_ms"))
       .otherwise(col("next_fetch"))
-    val lastErrNew = when(hadErr, coalesce(col("err"), lit("connect_timeout")))
-      .when(hadOk, lit("")).otherwise(col("last_error"))
+    val cookiesNew = when(hadOk,
+        mergeCookiesUdf(col("cookies"), col("cookie_hdr"), lit(cfg.cookieMaxBytes)))
+      .otherwise(col("cookies"))
+    // DNS TTL (N2 ≙ ip_store.clj:11-39 + 2h purge): stale entries re-resolve
+    val resolveUdf = udf((h: String) => web.resolveIp(h))
+    val staleDns = lit(ts) - col("resolved_at") >= lit(cfg.dnsTtlMs)
+    val ipNew = when(staleDns, resolveUdf(col("host"))).otherwise(col("ip"))
+    val resolvedAtNew = when(staleDns, lit(ts)).otherwise(col("resolved_at"))
     // single select so every new column is computed from the OLD row
-    // (chained withColumn would let statusNew observe the updated retries)
-    val hostStateNew = allHosts
-      .select(col("host"), col("ip"), col("bucket"), col("broken"),
+    // (chained withColumn would let statusNew observe the updated retries);
+    // __dropped is round-internal: which hosts' errored URLs leave the frontier
+    val hostStateFull = allHosts
+      .select(col("host"), ipNew.as("ip"), resolvedAtNew.as("resolved_at"),
+        col("bucket"), col("broken"),
         nextFetchNew.as("next_fetch"), col("crawl_delay_ms"), col("disallow"),
         retriesNew.cast("int").as("retries"), lastErrNew.as("last_error"),
         statusNew.as("status"),
-        (col("enqueued_count") + coalesce(col("new_cnt"), lit(0L))).as("enqueued_count"))
+        (col("enqueued_count") + coalesce(col("new_cnt"), lit(0L))).as("enqueued_count"),
+        cookiesNew.as("cookies"),
+        urlDrop.as("__dropped"))
       .localCheckpoint()
+    val hostStateNew = hostStateFull.drop("__dropped")
 
     // ---- ip politeness stamp (P3) ----
     // read ips from the cached fetch output, not `dequeued` (whose window
@@ -260,7 +313,12 @@ object CrawlRound {
       .select(col("ip"), coalesce(col("ip_fetch"), col("next_fetch")).as("next_fetch"))
 
     // ---- frontier update: consumed URLs out, dead hosts purged, new in ----
+    // consumed = fetched OK/404, plus errored URLs of hosts whose transient
+    // retry budget just ran out (the reference's "else just dequeue" branch)
+    val dropHosts = hostStateFull.filter(col("__dropped")).select("host")
     val consumed = fetched.filter(col("status") =!= -1).select("url_hash")
+      .unionByName(fetched.filter(col("status") === -1)
+        .join(dropHosts, Seq("host"), "left_semi").select("url_hash"))
     val deadHosts = hostStateNew.filter(col("status") === "dead").select("host")
     val frontierNew = state.frontier
       .join(consumed, Seq("url_hash"), "left_anti")

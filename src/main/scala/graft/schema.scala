@@ -38,6 +38,8 @@ final case class SeenRow(url_hash: Long, url: String)
 final case class HostState(
     host: String,
     ip: Long,            // resolved address as a long (synthetic resolver)
+    resolved_at: Long,   // when `ip` was resolved; re-resolved after dnsTtlMs
+                         // (≙ ip-store ping/purge, ip_store.clj:11-39)
     bucket: Int,         // salted hash bucket = partition/politeness domain
     broken: Boolean,     // synthetic "this host always times out" flag
     next_fetch: Long,    // epoch-ms logical time; eligible iff <= round ts
@@ -46,7 +48,9 @@ final case class HostState(
     retries: Int,
     last_error: String,  // "" when healthy
     status: String,      // "live" | "dead"
-    enqueued_count: Long) // per-host URL cap counter (distributor.clj:41-47)
+    enqueued_count: Long,  // per-host URL cap counter (distributor.clj:41-47)
+    cookies: Map[String, String]) // per-host cookie jar, byte-budget-truncated
+                                  // (≙ visit-state cookies, fetching_thread.clj:209-225)
 
 /** Per-IP politeness state (≙ WorkbenchEntry next-fetch,
   * `workbench_entry.clj:16-22`). */
@@ -99,6 +103,9 @@ final case class CrawlConfig(
     roundTickMs: Long = 2000L,   // logical time advance per round (no wall clock)
     maxUrlsPerHost: Long = 500L, // default-config.edn:9
     maxRetries: Int = 3,
+    workbenchMaxUrls: Long = 1L << 30, // P6 memory term (≙ workbench-max-byte-size)
+    cookieMaxBytes: Int = 2048,  // per-host cookie budget (runtime_configuration.clj:31)
+    dnsTtlMs: Long = 7200000L,   // DNS re-resolve TTL (≙ ip-purge-interval, 2h)
     // scale knobs
     numBuckets: Int = 64,        // politeness/salt buckets ≈ executor-slots * small factor
     saltsPerHotHost: Int = 4,

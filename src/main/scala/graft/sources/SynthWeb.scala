@@ -69,6 +69,15 @@ final class SynthWeb(cfg: CrawlConfig) extends Serializable {
     }
   }
 
+  /** Deterministic failure class for a (broken) host — spreads hosts across
+    * the whole policy table so killer purges, transient retries, and
+    * zero-retry URL drops are all exercised (≙ the per-exception variety of
+    * constants.clj:6-43). */
+  def errorClass(host: String): String = {
+    val cs = graft.operators.Fetch.errorClasses
+    cs(Hashing.pmod(Hashing.splitmix64(cfg.seed ^ Hashing.xxhash64(host)), cs.length.toLong).toInt)
+  }
+
   def isBrokenHost(hostIdx: Int): Boolean =
     Hashing.pmod(Hashing.splitmix64(cfg.seed ^ (hostIdx.toLong << 17)), 1000000L) <
       (cfg.brokenHostFraction * 1000000L).toLong
@@ -88,6 +97,27 @@ final class SynthWeb(cfg: CrawlConfig) extends Serializable {
     val dis = if (i % 5 == 0) Seq("/private") else Seq.empty[String]
     val delay = if (i % 7 == 0) cfg.hostDelayMs * 2 else cfg.hostDelayMs
     RobotsRow(host, dis, delay)
+  }
+
+  /** Deterministic HTML rendering of a page: its out-links as anchors plus
+    * parser traps (comment/script decoys, a nofollow anchor, entity-escaped
+    * hrefs) — the "served page" for the real-content extraction path. The
+    * [[graft.functions.Html]] parser over this must reproduce `links` exactly. */
+  def htmlBody(canonicalUrl: String): String = {
+    val ls = links(canonicalUrl)
+    val anchors = ls.zipWithIndex.map { case (l, j) =>
+      val href = if (j % 3 == 0) l.replace("&", "&amp;") else l
+      s"""<a class="out" href="$href">link $j</a>"""
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html><head><title>Synthetic page</title>
+       |<style>a { color: #000 } /* <a href="http://decoy-style.test/">x</a> */</style>
+       |</head><body>
+       |<!-- <a href="http://decoy-comment.test/">never follow</a> -->
+       |<script>var s = '<a href="http://decoy-script.test/">nope</a>';</script>
+       |<a rel="nofollow" href="http://decoy-nofollow.test/skip">sponsored</a>
+       |$anchors
+       |</body></html>""".stripMargin
   }
 
   /** robots.txt *text* for a host — exercised by the real parser in tests. */

@@ -118,20 +118,100 @@ class CrawlSpec extends AnyFunSuite {
     assert(fingerprint(straight) == fingerprint(resumed), "resume broke bit-identity")
   }
 
-  test("broken hosts retry then die; their frontier is purged") {
-    val cfgB = cfg.copy(brokenHostFraction = 1.0, numHosts = 4, maxRetries = 2)
+  test("error policy: killer classes purge the host, transient classes drop URLs") {
+    val cfgB = cfg.copy(brokenHostFraction = 1.0, numHosts = 12, maxRetries = 2)
     val web = new SynthWeb(cfgB)
     val d = new CrawlDriver(spark, cfgB, freshDir())
-    val m = d.run(web.seeds(4), maxRounds = 40, maxUrls = Long.MaxValue)
+    val m = d.run(web.seeds(12), maxRounds = 60, maxUrls = Long.MaxValue)
     assert(m.nonEmpty)
     val r = d.latestRound().get
     assert(d.pages(r).count() == 0, "broken hosts must never yield pages")
-    // every host that was ever fetched must be dead; host 0's only seed is
-    // robots-disallowed (/private on host 0), so it is never fetched and
-    // legitimately stays live. Frontier must still drain to empty.
+    // seeds(12) = page 0 of each host = /private/page/0, which hosts i%5==0
+    // disallow — those three are never fetched and legitimately stay live.
+    val fetchable = (0 until 12).filterNot(_ % 5 == 0).map(web.hostName).toSet
+    assert(m.map(_.fetch_errors).sum > 0, "broken hosts should error")
     val io = new sources.TableIO(d.workDir, spark)
     val hosts = io.readSnapshot("host_state", r)
-    assert(hosts.filter(col("status") =!= "dead").count() == 1, "fetched hosts should be dead")
-    assert(io.readSnapshot("frontier", r).count() == 0, "dead-host frontier not purged")
+      .select("host", "status", "retries").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    fetchable.foreach { h =>
+      val killer = graft.operators.Fetch.errorPolicies(web.errorClass(h)).killer
+      if (killer)
+        assert(hosts(h) == "dead", s"$h (killer ${web.errorClass(h)}) should be purged")
+      else
+        assert(hosts(h) == "live", s"$h (transient ${web.errorClass(h)}) should survive via URL drop")
+    }
+    assert(hosts.values.count(_ == "dead") > 0, "no killer class drawn — pick a richer host set")
+    // in both branches the frontier must fully drain (purged or dropped)
+    assert(io.readSnapshot("frontier", r).count() == 0, "frontier not drained")
+  }
+
+  test("path-query-limit bounds the per-host refill below the keepalive batch") {
+    // crawl-delay term: 300000/crawl_delay_ms — a huge host delay forces the
+    // P6 cutoff under the keepalive batch (workbench.clj:209-223)
+    val cfgP = cfg.copy(hostDelayMs = 150000L, roundTickMs = 300000L,
+      keepAliveBatch = 8, numHosts = 3, brokenHostFraction = 0.0)
+    val web = new SynthWeb(cfgP)
+    val d = new CrawlDriver(spark, cfgP, freshDir())
+    // hosts with i%7==0 double their delay to 300000 -> byDelay = 1
+    val metricsRun = d.run(web.seeds(24), maxRounds = 1, maxUrls = Long.MaxValue)
+    val r = d.latestRound().get
+    val perHost = d.pages(r).groupBy("host").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    perHost.foreach { case (h, n) =>
+      val delay = web.robots(h).crawl_delay_ms
+      val limit = math.max(1L, math.min(cfgP.keepAliveBatch.toLong, 300000L / delay))
+      assert(n <= limit, s"$h fetched $n > path-query-limit $limit (delay $delay)")
+    }
+    assert(perHost.values.exists(_ < cfgP.keepAliveBatch),
+      "P6 cutoff never engaged — test config too loose")
+    assert(metricsRun.nonEmpty)
+  }
+
+  test("cookies: jar populated on fetch, capped by byte budget") {
+    val d = new CrawlDriver(spark, cfg, freshDir())
+    val web = new SynthWeb(cfg)
+    d.run(web.seeds(6), maxRounds = 2, maxUrls = Long.MaxValue)
+    val io = new sources.TableIO(d.workDir, spark)
+    val hosts = io.readSnapshot("host_state", d.latestRound().get)
+    val withCookies = hosts.filter(size(map_keys(col("cookies"))) > 0)
+      .select("host", "cookies").collect()
+    assert(withCookies.nonEmpty, "no host accumulated cookies after OK fetches")
+    withCookies.foreach { row =>
+      val m = row.getMap[String, String](1)
+      val bytes = m.map { case (k, v) => k.length + v.length + 1 }.sum
+      assert(bytes <= cfg.cookieMaxBytes, "cookie jar exceeds byte budget")
+      assert(m.keys.toSeq.contains("sid"))
+    }
+  }
+
+  test("dns ttl: stale entries re-resolve (resolved_at advances)") {
+    val cfgD = cfg.copy(dnsTtlMs = 1L) // everything stale every round
+    val web = new SynthWeb(cfgD)
+    val d = new CrawlDriver(spark, cfgD, freshDir())
+    d.run(web.seeds(6), maxRounds = 3, maxUrls = Long.MaxValue)
+    val io = new sources.TableIO(d.workDir, spark)
+    val r = d.latestRound().get
+    val hs = io.readSnapshot("host_state", r)
+    // every host re-resolved at the latest round's logical time
+    val maxTs = r.toLong * cfgD.roundTickMs
+    val stale = hs.filter(col("resolved_at") =!= maxTs).count()
+    assert(stale == 0, s"$stale hosts kept stale DNS entries past the TTL")
+    // the synthetic resolver is pure, so ips must be unchanged vs fresh resolve
+    val bad = hs.collect().count(x =>
+      x.getAs[Long]("ip") != web.resolveIp(x.getAs[String]("host")))
+    assert(bad == 0)
+  }
+
+  test("external stop: a STOP file in the workDir halts the round loop") {
+    val dir = freshDir()
+    val web = new SynthWeb(cfg)
+    val d = new CrawlDriver(spark, cfg, dir)
+    d.run(web.seeds(4), maxRounds = 2, maxUrls = Long.MaxValue)
+    assert(d.latestRound().get == 2)
+    Files.createFile(java.nio.file.Paths.get(dir, "STOP"))
+    val resumed = new CrawlDriver(spark, cfg, dir)
+    val m = resumed.run(web.seeds(4), maxRounds = 10, maxUrls = Long.MaxValue)
+    assert(m.isEmpty && resumed.latestRound().get == 2, "STOP file ignored")
   }
 }

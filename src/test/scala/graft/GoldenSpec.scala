@@ -36,9 +36,12 @@ class GoldenSpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getInt(1))).toSeq)
     val seenFp = fingerprint(d.seen(r).select("url_hash").collect()
       .map(x => (x.getLong(0), 0)).toSeq)
-    // golden values — printed on mismatch for deliberate updates
-    val expectedPages = 8711852166827786027L
-    val expectedSeen = 5799546746063578329L
+    // golden values — printed on mismatch for deliberate updates.
+    // Updated once in round 2: the full per-class error policy (killer purge
+    // timing + transient URL drops) deliberately changes the crawl evolution
+    // around broken hosts.
+    val expectedPages = -103094415988347545L
+    val expectedSeen = 5882753541498321018L
     assert(pagesFp == expectedPages && seenFp == expectedSeen,
       s"golden mismatch: pagesFp=${pagesFp}L seenFp=${seenFp}L")
   }

@@ -42,6 +42,25 @@ class UrlNormSpec extends AnyFunSuite {
     }
   }
 
+  test("percent normalization: unreserved decoded, illegal encoded, idempotent") {
+    // ≙ lambdaisland normalize semantics (reference util/url.clj:46-53):
+    // '%41' and 'A' are THE SAME URL and must not duplicate frontier entries
+    val cases = Seq(
+      "http://example.com/%41bc" -> "http://example.com/Abc",
+      "http://example.com/a%2Fb" -> "http://example.com/a%2Fb", // reserved stays encoded
+      "http://example.com/a%2fb" -> "http://example.com/a%2Fb", // hex uppercased
+      "http://example.com/a b" -> "http://example.com/a%20b",
+      "http://example.com/café" -> "http://example.com/caf%C3%A9",
+      "http://example.com/100%" -> "http://example.com/100%25", // stray %
+      "http://example.com/%7Euser" -> "http://example.com/~user",
+      "http://example.com/a?x=%41&y=1 2" -> "http://example.com/a?x=A&y=1%202")
+    cases.foreach { case (in, want) =>
+      assert(UrlNorm.canonicalize(in).contains(want), s"input: $in")
+      assert(UrlNorm.canonicalize(want).contains(want), s"not idempotent: $want")
+    }
+    assert(UrlNorm.canonicalize("http://e.com/%41") == UrlNorm.canonicalize("http://e.com/A"))
+  }
+
   test("resolve relative hrefs") {
     val base = "http://example.com/dir/page"
     assert(UrlNorm.resolve(base, "/abs").contains("http://example.com/abs"))
