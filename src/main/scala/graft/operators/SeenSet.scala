@@ -57,18 +57,21 @@ object SeenSet {
   }
 
   /** Full sieve pass: in-batch dedup, then (optionally) split candidates by
-    * the approximate filter — "definitely new" rows skip the shuffle; only
-    * "maybe seen" rows pay the exact anti-join.
+    * an approximate membership predicate — "definitely new" rows skip the
+    * shuffle; only "maybe seen" rows pay the exact anti-join. The engine
+    * passes the partitioned [[PrefilterStore]] predicate (incremental,
+    * partition-local, no driver blob); `prefilterPredicate` above remains the
+    * in-session alternative for bounded filters.
     */
   def sieve(candidates: DataFrame, seen: DataFrame,
-            usePrefilter: Boolean, expectedSeen: Long, fpp: Double): DataFrame = {
+            prefilter: Option[Column]): DataFrame = {
     val batch = dedupeBatch(candidates)
-    if (!usePrefilter) antiJoin(batch, seen)
-    else {
-      val maybe = prefilterPredicate(seen, expectedSeen, fpp)
-      val definitelyNew = batch.filter(!maybe)
-      val needExact = batch.filter(maybe)
-      definitelyNew.unionByName(antiJoin(needExact, seen))
+    prefilter match {
+      case None => antiJoin(batch, seen)
+      case Some(maybe) =>
+        val definitelyNew = batch.filter(!maybe)
+        val needExact = batch.filter(maybe)
+        definitelyNew.unionByName(antiJoin(needExact, seen))
     }
   }
 }

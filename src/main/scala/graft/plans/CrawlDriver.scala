@@ -30,7 +30,12 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
   private val web = new SynthWeb(cfg)
   private val linkEx = extractor.getOrElse(new graft.operators.SyntheticLinkExtractor(web))
   private val configHash = cfg.hashCode().toHexString
-  private val reanchorEvery = 8
+  private val reanchorEvery = math.max(cfg.reanchorEvery, 1)
+  // partitioned cuckoo URL-seen prefilter (north rule): K bucket files under
+  // the workDir, updated incrementally per round, durable before each commit
+  private val prefilterStore = new graft.operators.PrefilterStore(
+    java.nio.file.Paths.get(workDir, "prefilter").toString,
+    cfg.prefilterBuckets, cfg.prefilterKeysPerBucket)
 
   private def corpusWithIdx(): DataFrame = {
     val corpusDir = io.tablePath("corpus", 0)
@@ -40,12 +45,57 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       .withColumn("corpus_idx", expr("cast(substring(image_id, 4, 9) as long)"))
   }
 
-  private def loadState(round: Int): CrawlState = CrawlState(
-    frontier = io.readSnapshot("frontier", round),
-    seen = io.readDeltas("seen", round),
-    hostState = io.readSnapshot("host_state", round),
-    ipState = io.readSnapshot("ip_state", round),
-    phashSeen = io.readDeltas("phash_seen", round))
+  /** Merge-on-read of a keyed state table: anchor snapshot overridden by the
+    * last-written delta row per key (deltas carry the round as partition
+    * column `r` via the basePath read). */
+  private def composeKeyed(table: String, deltaTable: String, round: Int,
+                           key: String): DataFrame = {
+    val a = io.latestSnapshotRound(table, round)
+    val snap = io.readSnapshot(table, a)
+    io.readRange(deltaTable, a + 1, round) match {
+      case None => snap
+      case Some(d) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key)).orderBy(col("r").desc)
+        val latest = d.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "r")
+        snap.join(latest.select(key), Seq(key), "left_anti").unionByName(latest)
+    }
+  }
+
+  /** Frontier at `round` = (anchor snapshot ∪ adds since) minus deleted
+    * url_hashes minus rows of hosts dead at `round`. Set-wise sound because
+    * the sieve admits each url_hash at most once ever and host death is
+    * monotone — no per-round replay loop needed. */
+  private def composeFrontier(round: Int, hostState: DataFrame): DataFrame = {
+    val a = io.latestSnapshotRound("frontier", round)
+    val snap = io.readSnapshot("frontier", a)
+    val withAdds = io.readRange("frontier_add", a + 1, round)
+      .map(d => snap.unionByName(d.drop("r"))).getOrElse(snap)
+    val afterDels = io.readRange("frontier_del", a + 1, round)
+      .map(d => withAdds.join(d.select("url_hash"), Seq("url_hash"), "left_anti"))
+      .getOrElse(withAdds)
+    afterDels.join(hostState.filter(col("status") === "dead").select("host"),
+      Seq("host"), "left_anti")
+  }
+
+  private def loadState(round: Int): CrawlState = {
+    val hs = composeKeyed("host_state", "host_delta", round, "host")
+    CrawlState(
+      frontier = composeFrontier(round, hs),
+      seen = io.readDeltas("seen", round),
+      hostState = hs,
+      ipState = composeKeyed("ip_state", "ip_delta", round, "ip"),
+      phashSeen = io.readDeltas("phash_seen", round))
+  }
+
+  /** The materialized frontier at a committed round (test/inspection API). */
+  def frontier(round: Int): DataFrame =
+    composeFrontier(round, composeKeyed("host_state", "host_delta", round, "host"))
+
+  /** The materialized host-state table at a committed round. */
+  def hostState(round: Int): DataFrame =
+    composeKeyed("host_state", "host_delta", round, "host")
 
   /** Run (or resume) the crawl from a Seq of seed URLs (test convenience). */
   def run(seedUrls: Seq[String], maxRounds: Int, maxUrls: Long): Seq[RoundMetrics] = {
@@ -77,6 +127,7 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
         val cH = io.writeSnapshot("host_state", 0, st.hostState)
         val cI = io.writeSnapshot("ip_state", 0, st.ipState)
         io.writeSnapshot("phash_seen", 0, st.phashSeen)
+        prefilterStore.addDelta(st.seen) // durable before the commit it covers
         io.commit(0, configHash, Map("frontier" -> cF, "seen" -> cS,
           "host_state" -> cH, "ip_state" -> cI, "pages" -> 0L))
         0
@@ -93,6 +144,7 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     // resumed run uses the same value (bit-identity preserved)
     var batch = countsOf(startRound).getOrElse("keepalive", cfg.keepAliveBatch.toLong).toInt
     var pendingCommit: Future[Unit] = Future.successful(())
+    var pendingFilterAdd: Future[Unit] = Future.successful(())
     var stop = false
     // external stop: a STOP file in the workDir ends the run at the next
     // round boundary (≙ the :ramper/runtime-stop poll, agent.clj:106-117)
@@ -101,9 +153,21 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     while (r < startRound + maxRounds && !stop && !stopRequested()) {
       val t0 = System.nanoTime()
       val round = r + 1
+      // the prefilter must already cover every admitted URL (a false negative
+      // would re-admit a seen URL) — so wait for the previous round's delta
+      // insertion, then pin this round's filter versions
+      Await.result(pendingFilterAdd, Duration.Inf)
+      val prefilter =
+        if (cfg.bloomPrefilter && seenTotal > cfg.prefilterMinSeen)
+          Some(prefilterStore.predicate(spark))
+        else None
       val res = CrawlRound.run(spark, state, corpus, web,
         cfg.copy(keepAliveBatch = batch), round, seenTotal,
-        frontSize = math.max(hostsPrev, 1L), extractor = linkEx)
+        frontSize = math.max(hostsPrev, 1L), extractor = linkEx,
+        prefilter = prefilter)
+      // filter insertion overlaps the commit writes; the manifest commit and
+      // the next round's dequeue both gate on it
+      pendingFilterAdd = Future(prefilterStore.addDelta(res.seenDelta))
 
       // materialize next-round state eagerly (concurrently with the previous
       // round's still-flushing writes)
@@ -154,15 +218,28 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       val commitMap = Map("frontier" -> cF, "seen_delta" -> cSeenDelta,
         "seen_total" -> seenTotal, "host_state" -> cH,
         "pages" -> cP, "pages_total" -> totalPages, "keepalive" -> batch.toLong)
-      // checkpoint blocks of finished rounds are NOT unpersisted explicitly:
-      // the next round's state still references several of them (frontier,
-      // host state, seen-delta unions); Spark's ContextCleaner frees each
-      // block set once its DataFrame becomes unreachable
-      pendingCommit = Future.sequence(Seq(
-        Future(io.write("frontier", round, frontierCk)),
+      // Durability is delta-shaped (VERDICT r1 #1: an O(frontier) write per
+      // round is the top scale-killer at a 10^10-URL frontier): non-anchor
+      // rounds commit only this round's adds/dels/changed rows — O(activity);
+      // anchor rounds write full snapshots that bound the compose-on-read
+      // chain and the resume replay depth.
+      // Checkpoint blocks of finished rounds are NOT unpersisted explicitly:
+      // the next round's state still references several of them; Spark's
+      // ContextCleaner frees each block set once unreachable.
+      val isAnchor = round % reanchorEvery == 0
+      val stateWrites: Seq[Future[Unit]] =
+        if (isAnchor) Seq(
+          Future(io.write("frontier", round, frontierCk)),
+          Future(io.write("host_state", round, res.hostState)),
+          Future(io.write("ip_state", round, ipCk)))
+        else Seq(
+          Future(io.write("frontier_add", round, res.frontierAdd)),
+          Future(io.write("frontier_del", round, res.frontierDel)),
+          Future(io.write("host_delta", round, res.hostDelta)),
+          Future(io.write("ip_delta", round, res.ipDelta)))
+      pendingCommit = Future.sequence(stateWrites ++ Seq(
+        pendingFilterAdd, // filter durable before the manifest that relies on it
         Future(io.write("seen", round, res.seenDelta)),
-        Future(io.write("host_state", round, res.hostState)),
-        Future(io.write("ip_state", round, ipCk)),
         Future(io.write("pages", round, res.pagesDelta)),
         Future(io.write("phash_seen", round, phashDeltaCk)),
         Future {
@@ -171,10 +248,15 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
         })).map(_ => io.commit(round, configHash, commitMap))
 
       // next round computes from the in-memory state; re-anchor to committed
-      // parquet periodically to bound plan depth and storage memory
+      // parquet periodically to bound plan depth and storage memory, and
+      // compact the narrow append-only tables (file-count growth; pages stays
+      // append-only like the reference's store — Iceberg maintenance would
+      // compact it out-of-band at scale)
       state =
-        if (round % reanchorEvery == 0) {
+        if (isAnchor) {
           Await.result(pendingCommit, Duration.Inf)
+          io.compact("seen", round)
+          io.compact("phash_seen", round)
           loadState(round)
         } else CrawlState(
           frontier = frontierCk,

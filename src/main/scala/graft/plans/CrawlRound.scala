@@ -18,10 +18,19 @@ final case class CrawlState(
     ipState: DataFrame,   // IpState
     phashSeen: DataFrame) // (phash: Long) — content near-dup index
 
-/** Lazy outputs of one round; the driver materializes + commits them. */
+/** Lazy outputs of one round; the driver materializes + commits them.
+  * Durability is DELTA-shaped (the #1 scale requirement at a 10^10-URL
+  * frontier: a round must commit O(round activity), not O(total state)):
+  * frontierAdd/frontierDel and the changed-row hostDelta/ipDelta are what a
+  * non-anchor round writes; the full frontier/hostState/ipState views feed
+  * the next round in memory and the periodic anchor snapshots. */
 final case class RoundResult(
     frontier: DataFrame, seenDelta: DataFrame, hostState: DataFrame,
     ipState: DataFrame, pagesDelta: DataFrame, phashSeenDelta: DataFrame,
+    frontierAdd: DataFrame, // rows admitted this round (= newRows)
+    frontierDel: DataFrame, // url_hashes leaving the frontier (fetched/dropped)
+    hostDelta: DataFrame,   // host rows whose state changed this round
+    ipDelta: DataFrame,     // ip rows whose politeness clock changed
     links: DataFrame,       // deduped extracted links (checkpointed; metrics)
     cached: Seq[DataFrame]) // intermediates to unpersist after commit
 
@@ -129,7 +138,8 @@ object CrawlRound {
   def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
           web: SynthWeb, cfg: CrawlConfig, roundIdx: Int,
           expectedSeen: Long, frontSize: Long = 1L,
-          extractor: operators.LinkExtractor = null): RoundResult = {
+          extractor: operators.LinkExtractor = null,
+          prefilter: Option[org.apache.spark.sql.Column] = None): RoundResult = {
     val ex = Option(extractor).getOrElse(new operators.SyntheticLinkExtractor(web))
     val ts = roundIdx.toLong * cfg.roundTickMs
 
@@ -202,13 +212,10 @@ object CrawlRound {
       .filter(col("status") === "live")
       .filter(expr("not exists(disallow, d -> startswith(path_query, d))"))
 
-    // the sieve: once and once only. The approximate pre-filter only pays
-    // for itself once the seen table is large (it skips the exact anti-join
-    // shuffle for definite-new links); below the threshold the plain
-    // anti-join is cheaper than building it
-    val usePrefilter = cfg.bloomPrefilter && expectedSeen > 500000L
-    val fresh = SeenSet.sieve(admissible, state.seen,
-      usePrefilter, math.max(expectedSeen, 1024L), cfg.bloomFpp)
+    // the sieve: once and once only. The partitioned cuckoo pre-filter (when
+    // the driver supplies it) lets definite-new links skip the exact
+    // anti-join shuffle; correctness never depends on it.
+    val fresh = SeenSet.sieve(admissible, state.seen, prefilter)
 
     // per-host cap + FIFO seq_no. Hot-host skew defusal (north rule): a Zipf
     // web can point millions of links at one host, which would make the
@@ -243,7 +250,8 @@ object CrawlRound {
       first(col("set_cookie"), ignoreNulls = true).as("cookie_hdr"))
     val newEnq = newRows.groupBy(col("host")).agg(count(lit(1)).as("new_cnt"))
 
-    val allHosts = state.hostState.unionByName(newHosts)
+    val allHosts = state.hostState.withColumn("__new", lit(false))
+      .unionByName(newHosts.withColumn("__new", lit(true)))
       .join(hostOutcome, Seq("host"), "left")
       .join(newEnq, Seq("host"), "left")
     val hadErr = coalesce(col("err_cnt"), lit(0L)) > 0
@@ -297,9 +305,12 @@ object CrawlRound {
         statusNew.as("status"),
         (col("enqueued_count") + coalesce(col("new_cnt"), lit(0L))).as("enqueued_count"),
         cookiesNew.as("cookies"),
-        urlDrop.as("__dropped"))
+        urlDrop.as("__dropped"),
+        (col("__new") || hadOk || hadErr || col("new_cnt").isNotNull || staleDns)
+          .as("__changed"))
       .localCheckpoint()
-    val hostStateNew = hostStateFull.drop("__dropped")
+    val hostStateNew = hostStateFull.drop("__dropped", "__changed")
+    val hostDelta = hostStateFull.filter(col("__changed")).drop("__dropped", "__changed")
 
     // ---- ip politeness stamp (P3) ----
     // read ips from the cached fetch output, not `dequeued` (whose window
@@ -311,6 +322,10 @@ object CrawlRound {
       .groupBy(col("ip")).agg(max(col("next_fetch")).as("next_fetch"))
       .join(fetchedIps, Seq("ip"), "left")
       .select(col("ip"), coalesce(col("ip_fetch"), col("next_fetch")).as("next_fetch"))
+    // delta = ips whose clock moved (fetched this round) or first seen
+    val changedIps = fetchedIps.select("ip")
+      .unionByName(newHosts.select("ip")).distinct()
+    val ipDelta = ipStateNew.join(changedIps, Seq("ip"), "left_semi")
 
     // ---- frontier update: consumed URLs out, dead hosts purged, new in ----
     // consumed = fetched OK/404, plus errored URLs of hosts whose transient
@@ -328,7 +343,9 @@ object CrawlRound {
     val seenDelta = newRows.select(col("url_hash"), col("url"))
 
     RoundResult(frontierNew, seenDelta, hostStateNew, ipStateNew, pagesDelta,
-      phashSeenDelta, links = batch,
+      phashSeenDelta,
+      frontierAdd = newRows, frontierDel = consumed,
+      hostDelta = hostDelta, ipDelta = ipDelta, links = batch,
       cached = Seq(fetched, newHosts, newRows, hostStateNew))
   }
 }

@@ -104,6 +104,7 @@ final case class CrawlConfig(
     maxUrlsPerHost: Long = 500L, // default-config.edn:9
     maxRetries: Int = 3,
     workbenchMaxUrls: Long = 1L << 30, // P6 memory term (≙ workbench-max-byte-size)
+    reanchorEvery: Int = 8,      // rounds between full state snapshots + compaction
     cookieMaxBytes: Int = 2048,  // per-host cookie budget (runtime_configuration.clj:31)
     dnsTtlMs: Long = 7200000L,   // DNS re-resolve TTL (≙ ip-purge-interval, 2h)
     // scale knobs
@@ -112,6 +113,9 @@ final case class CrawlConfig(
     perBucketQuota: Int = 1 << 20,
     bloomPrefilter: Boolean = true,
     bloomFpp: Double = 0.01,
+    prefilterBuckets: Int = 64,          // partitioned cuckoo store: K bucket files
+    prefilterKeysPerBucket: Long = 1L << 21, // per-bucket capacity (~4 MB files)
+    prefilterMinSeen: Long = 500000L,    // engage the prefilter above this seen size
     verifySample: Int = 1,       // decode-verify every Nth fetch (1 = all)
     // synthetic web shape (≙ BUbiNG graph-server protocol, README.md:38-41)
     numHosts: Int = 64,

@@ -45,11 +45,65 @@ final class TableIO(val workDir: String, spark: SparkSession) {
   def readSnapshot(table: String, round: Int): DataFrame =
     spark.read.parquet(tablePath(table, round))
 
-  /** Union of all committed deltas up to `round` (seen / pages). */
+  private def compactedPath(table: String, round: Int): Path =
+    root.resolve(table).resolve(s"c=$round")
+
+  /** Highest compacted round ≤ `round` for a delta table, if any. */
+  private def latestCompacted(table: String, round: Int): Option[Int] = {
+    val dir = root.resolve(table)
+    if (!Files.exists(dir)) return None
+    val cs = Files.list(dir).iterator().asScala.map(_.getFileName.toString)
+      .collect { case s if s.startsWith("c=") => s.stripPrefix("c=").toInt }
+      .filter(_ <= round).toSeq
+    if (cs.isEmpty) None else Some(cs.max)
+  }
+
+  /** Union of all committed deltas up to `round` (seen / pages / phash_seen):
+    * the latest compacted consolidation plus every per-round delta after it. */
   def readDeltas(table: String, round: Int): DataFrame = {
-    val paths = (0 to round).map(r => tablePath(table, r))
+    val c = latestCompacted(table, round)
+    val base = c.map(r => compactedPath(table, r).toString).toSeq
+    val from = c.map(_ + 1).getOrElse(0)
+    val paths = base ++ (from to round).map(r => tablePath(table, r))
       .filter(p => Files.exists(Paths.get(p)))
     spark.read.parquet(paths: _*)
+  }
+
+  /** Compact a delta table's 0..round files into one consolidated dir
+    * (≙ ByteArrayDiskQueues.collect / Iceberg snapshot compaction —
+    * bounds file-count growth of long crawls). Crash-safe: the consolidated
+    * dir appears atomically (tmp + rename); stale delta dirs are removed
+    * after, and a crash in between leaves a readable overlap that
+    * readDeltas resolves in favor of the compacted dir. */
+  def compact(table: String, round: Int): Unit = {
+    if (!Files.exists(root.resolve(table))) return
+    val tmp = root.resolve(table).resolve(s".c=$round.tmp")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    readDeltas(table, round).write.mode("overwrite").parquet(tmp.toString)
+    Files.move(tmp, compactedPath(table, round), StandardCopyOption.ATOMIC_MOVE)
+    val dir = root.resolve(table)
+    Files.list(dir).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      val stale =
+        (n.startsWith("r=") && n.stripPrefix("r=").toInt <= round) ||
+          (n.startsWith("c=") && n.stripPrefix("c=").toInt < round)
+      if (stale) org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    }
+  }
+
+  /** Highest round ≤ `round` with a full snapshot dir (anchor rounds write
+    * snapshots; in between only deltas are committed). */
+  def latestSnapshotRound(table: String, round: Int): Int =
+    (0 to round).reverse.find(r => Files.exists(Paths.get(tablePath(table, r)))).getOrElse(0)
+
+  /** Union of per-round delta dirs in (from..to], with the round recoverable
+    * as the partition column `r` (basePath trick). None when no dir exists. */
+  def readRange(table: String, from: Int, to: Int): Option[DataFrame] = {
+    val paths = (from to to).map(r => tablePath(table, r))
+      .filter(p => Files.exists(Paths.get(p)))
+    if (paths.isEmpty) None
+    else Some(spark.read.option("basePath", root.resolve(table).toString)
+      .parquet(paths: _*))
   }
 
   private def manifestPath(round: Int): Path = root.resolve(s"manifest_r$round.json")

@@ -118,6 +118,29 @@ class CrawlSpec extends AnyFunSuite {
     assert(fingerprint(straight) == fingerprint(resumed), "resume broke bit-identity")
   }
 
+  test("resume across anchors + compaction stays bit-identical (reanchorEvery=2)") {
+    // anchors at rounds 2 and 4 write snapshots AND compact seen/phash_seen;
+    // resume from a non-anchor round (3) must compose snapshot+deltas exactly
+    val cfgA = cfg.copy(reanchorEvery = 2)
+    val web = new SynthWeb(cfgA)
+    val dirA = freshDir(); val dirB = freshDir()
+    val straight = new CrawlDriver(spark, cfgA, dirA)
+    straight.run(web.seeds(4), maxRounds = 5, maxUrls = Long.MaxValue)
+    val first = new CrawlDriver(spark, cfgA, dirB)
+    first.run(web.seeds(4), maxRounds = 3, maxUrls = Long.MaxValue)
+    val resumed = new CrawlDriver(spark, cfgA, dirB)
+    resumed.run(web.seeds(4), maxRounds = 2, maxUrls = Long.MaxValue)
+    def fp(d: CrawlDriver): (Seq[(Long, Int)], Seq[Long], Long) = {
+      val r = d.latestRound().get
+      (d.pages(r).select("url_hash", "round").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).toSeq.sorted,
+        d.seen(r).select("url_hash").collect().map(_.getLong(0)).toSeq.sorted,
+        d.frontier(r).count())
+    }
+    assert(straight.latestRound() == resumed.latestRound())
+    assert(fp(straight) == fp(resumed), "resume across compaction broke bit-identity")
+  }
+
   test("error policy: killer classes purge the host, transient classes drop URLs") {
     val cfgB = cfg.copy(brokenHostFraction = 1.0, numHosts = 12, maxRetries = 2)
     val web = new SynthWeb(cfgB)
@@ -130,8 +153,7 @@ class CrawlSpec extends AnyFunSuite {
     // disallow — those three are never fetched and legitimately stay live.
     val fetchable = (0 until 12).filterNot(_ % 5 == 0).map(web.hostName).toSet
     assert(m.map(_.fetch_errors).sum > 0, "broken hosts should error")
-    val io = new sources.TableIO(d.workDir, spark)
-    val hosts = io.readSnapshot("host_state", r)
+    val hosts = d.hostState(r)
       .select("host", "status", "retries").collect()
       .map(x => x.getString(0) -> x.getString(1)).toMap
     fetchable.foreach { h =>
@@ -143,7 +165,7 @@ class CrawlSpec extends AnyFunSuite {
     }
     assert(hosts.values.count(_ == "dead") > 0, "no killer class drawn — pick a richer host set")
     // in both branches the frontier must fully drain (purged or dropped)
-    assert(io.readSnapshot("frontier", r).count() == 0, "frontier not drained")
+    assert(d.frontier(r).count() == 0, "frontier not drained")
   }
 
   test("path-query-limit bounds the per-host refill below the keepalive batch") {
@@ -172,8 +194,7 @@ class CrawlSpec extends AnyFunSuite {
     val d = new CrawlDriver(spark, cfg, freshDir())
     val web = new SynthWeb(cfg)
     d.run(web.seeds(6), maxRounds = 2, maxUrls = Long.MaxValue)
-    val io = new sources.TableIO(d.workDir, spark)
-    val hosts = io.readSnapshot("host_state", d.latestRound().get)
+    val hosts = d.hostState(d.latestRound().get)
     val withCookies = hosts.filter(size(map_keys(col("cookies"))) > 0)
       .select("host", "cookies").collect()
     assert(withCookies.nonEmpty, "no host accumulated cookies after OK fetches")
@@ -190,9 +211,8 @@ class CrawlSpec extends AnyFunSuite {
     val web = new SynthWeb(cfgD)
     val d = new CrawlDriver(spark, cfgD, freshDir())
     d.run(web.seeds(6), maxRounds = 3, maxUrls = Long.MaxValue)
-    val io = new sources.TableIO(d.workDir, spark)
     val r = d.latestRound().get
-    val hs = io.readSnapshot("host_state", r)
+    val hs = d.hostState(r)
     // every host re-resolved at the latest round's logical time
     val maxTs = r.toLong * cfgD.roundTickMs
     val stale = hs.filter(col("resolved_at") =!= maxTs).count()

@@ -28,17 +28,18 @@ class SeenSetSpec extends AnyFunSuite {
     val keys = Array.fill(5000)(rnd.nextInt(800).toLong)
     val candidates = keys.toSeq.toDF("url_hash").withColumn("url", concat(lit("u"), col("url_hash")))
     val seen = (0L until 400L).toDF("url_hash").withColumn("url", concat(lit("u"), col("url_hash")))
-    for (pre <- Seq(false, true)) {
-      val out = SeenSet.sieve(candidates, seen, pre, 1000L, 0.01)
+    for (pre <- Seq(None,
+      Some(SeenSet.prefilterPredicate(seen, 1000L, 0.01)))) {
+      val out = SeenSet.sieve(candidates, seen, pre)
         .select("url_hash").as[Long].collect().sorted
       val expected = keys.map(_.toLong).distinct.filter(_ >= 400).sorted
-      assert(out.toSeq == expected.toSeq, s"prefilter=$pre")
+      assert(out.toSeq == expected.toSeq, s"prefilter=${pre.isDefined}")
     }
   }
 
   test("anti-join empty seen passes everything through") {
     val candidates = Seq(1L, 2L, 2L, 3L).toDF("url_hash")
     val seen = spark.emptyDataset[Long].toDF("url_hash")
-    assert(SeenSet.sieve(candidates, seen, usePrefilter = false, 10L, 0.01).count() == 3)
+    assert(SeenSet.sieve(candidates, seen, None).count() == 3)
   }
 }

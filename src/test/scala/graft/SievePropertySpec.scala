@@ -19,7 +19,9 @@ class SievePropertySpec extends AnyFunSuite {
     (1 to 4).foreach { trial =>
       val permuted = rnd.shuffle(base.toSeq) ++ rnd.shuffle(base.take(500).toSeq)
       val cand = permuted.toDF("url_hash").repartition(trial * 3)
-      val out = SeenSet.sieve(cand, seen, usePrefilter = trial % 2 == 0, 1000L, 0.01)
+      val pre = if (trial % 2 == 0)
+        Some(SeenSet.prefilterPredicate(seen, 1000L, 0.01)) else None
+      val out = SeenSet.sieve(cand, seen, pre)
         .as[Long].collect().sorted.toSeq
       assert(out == expected, s"trial $trial")
     }
