@@ -17,6 +17,23 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic per-(dataset, variant) location for a persisted ANN
+    * index — built once, reused across queries of one dataset. */
+  private def annIndexDir(s: SparkSession, dataDir: String, variant: String): String = {
+    val digest = java.lang.Long.toHexString(
+      graft.functions.Hashing.xxhash64(s"$dataDir#$variant"))
+    s"/tmp/graft_ann_${variant}_$digest"
+  }
+
+  /** Rank a <=k-row ordered top-k result 1..k. k rows: materializing on the
+    * driver is the honest plan — a global rank window would move the whole
+    * (tiny) result to one partition via WindowExec and warn about it. */
+  private def rankify(s: SparkSession, top: DataFrame): DataFrame = {
+    import s.implicits._
+    top.select(col("vec_id")).collect().map(_.getLong(0)).zipWithIndex
+      .map { case (v, i) => (v, (i + 1).toLong) }.toSeq.toDF("vec_id", "rank")
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -185,7 +202,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exact(t(s, d, "documents"), "text", "doc_id")),
 
     "q_dedup_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", k = 3, thresholdPct = 60)),
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "text", "doc_id", k = 3,
+        thresholdPct = 60, maxDf = 20)),
 
     "q_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignature(t(s, d, "documents"), "text", "doc_id", k = 3, perms = 8)),
@@ -198,7 +216,7 @@ object SparkEntry {
 
     "q_embed_neardup" -> ((s, d) =>
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        simThresholdPct = 30, nbits = 4)),
+        simThresholdPct = 30, nbits = 8)),
 
     // ---- similarity search ----
     "q_ann_topk" -> { (s, d) =>
@@ -206,29 +224,29 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
       val top = Ann.bruteForceTopK(emb, "vec_id", "embedding", q, 10)
-      top.withColumn("rank",
-          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-        .select("vec_id", "rank")
+      rankify(s, top)
     },
 
+    // persisted indexes: assignment computed once at build, query scans only
+    // the probed cell / bucket partitions (explain shows PartitionFilters)
     "q_ann_ivf" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val top = Ann.ivfTopK(emb, "vec_id", "embedding", q, 10, nlist = 16, nprobe = 4)
-      top.withColumn("rank",
-          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-        .select("vec_id", "rank")
+      val dir = annIndexDir(s, d, "ivf16")
+      graft.operators.AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16)
+      val top = graft.operators.AnnIndex.ivfTopK(s, dir, "vec_id", "embedding", q, 10, nprobe = 4)
+      rankify(s, top)
     },
 
     "q_ann_lsh" -> { (s, d) =>
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0).toArray
-      val top = Ann.lshTopK(emb, "vec_id", "embedding", q, 5, nbits = 6)
-      top.withColumn("rank",
-          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"))
-        .select("vec_id", "rank")
+      val dir = annIndexDir(s, d, "lsh6")
+      graft.operators.AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, nbits = 6)
+      val top = graft.operators.AnnIndex.lshTopK(s, dir, "vec_id", "embedding", q, 5, nbits = 6)
+      rankify(s, top)
     },
 
     // ---- text analysis ----
@@ -296,6 +314,32 @@ object SparkEntry {
         col("doc_id").cast("string"), lit(" &amp; more </title><body>x</body></html>"))
       val titleUdf = udf((h: String) => Html.extractTitle(h))
       t(s, d, "documents").select(col("doc_id"), titleUdf(html).as("title"))
+    },
+
+    // phash near-dup banding (the in-engine content-dedup shape, oracle-
+    // anchored): 64-bit pseudo-phashes from the document fingerprint — exact
+    // duplicate texts collide, the 16-bit band join + bit_count(xor) verifies
+    "q_phash_neardup" -> { (s, d) =>
+      val ph = t(s, d, "documents").select(col("doc_id"),
+        ((TextAnalysis.fingerprint("text") % 1024) * lit(2654435761L)).as("ph"))
+      Dedup.phashNearDupPairs(ph, "doc_id", "ph", maxDist = 8)
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    },
+
+    // decode-path multimodal oracle: encode a deterministic 8x8 grayscale
+    // PNG per row, decode it back through the REAL ImageIO path, and report
+    // the pixel sum — the oracle states the closed form, so any
+    // encode/decode corruption breaks the hash match
+    "q_decode_luma" -> { (s, d) =>
+      import graft.functions.Images
+      val roundTrip = udf { (docId: Long) =>
+        val w = 8; val h = 8
+        val px = Array.tabulate(w * h)(i => ((docId * 31 + i) % 256).toInt)
+        val (decoded, dw, dh) = Images.decode(Images.encodePng(px, w, h))
+        require(dw == w && dh == h)
+        decoded.foldLeft(0L)(_ + _)
+      }
+      t(s, d, "documents").select(col("doc_id"), roundTrip(col("doc_id")).as("px_sum"))
     }
   )
 
@@ -379,9 +423,11 @@ object SparkEntry {
     "q_dedup_jaccard" ->
       s"""WITH $duckShingles,
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s.doc_id, s.sh FROM sh s
+         |  JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 20) d USING (sh)),
          |common AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
          |SELECT id_a, id_b, common::BIGINT AS common,
          |  (sa.sz + sb.sz - common)::BIGINT AS union_sz
          |FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
@@ -395,10 +441,13 @@ object SparkEntry {
         s"SELECT doc_id, $b AS band, ((m${2 * b} * 31 + m${2 * b + 1}) % $P) AS bandkey FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $duckMinhashSig,
-         |buckets AS ($bandSelects)
+         |raw AS ($bandSelects),
+         |buckets AS (SELECT doc_id, band, bandkey,
+         |  row_number() OVER (PARTITION BY band, bandkey ORDER BY doc_id) AS brn FROM raw)
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM buckets a JOIN buckets b
-         |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id""".stripMargin
+         |  ON a.band = b.band AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id
+         |WHERE a.brn <= 64""".stripMargin
     },
 
     "q_simhash" -> {
@@ -412,11 +461,13 @@ object SparkEntry {
     },
 
     "q_embed_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding AS e, ${duckBucket("embedding", 4)} AS bucket
-         |           FROM embeddings)
+      s"""WITH b AS (SELECT vec_id, embedding AS e, ${duckBucket("embedding", 8)} AS bucket,
+         |           ${duckNorm("embedding")} AS nrm FROM embeddings),
+         |u AS (SELECT vec_id, bucket, list_transform(e, x -> x::DOUBLE / nrm) AS u FROM b)
          |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE ${duckCos("x.e", "y.e")} * 100 >= 30""".stripMargin,
+         |FROM u x JOIN u y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE list_reduce(list_transform(generate_series(1, len(x.u)),
+         |  i -> x.u[i] * y.u[i]), (a, c) -> a + c) * 100 >= 30""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
@@ -492,6 +543,23 @@ object SparkEntry {
       "SELECT doc_id, 'T ' || source || ' ' || text AS txt FROM documents",
 
     "q_extract_title" ->
-      "SELECT doc_id, 'Doc ' || doc_id || ' & more' AS title FROM documents"
+      "SELECT doc_id, 'Doc ' || doc_id || ' & more' AS title FROM documents",
+
+    "q_phash_neardup" ->
+      s"""WITH ph AS (SELECT doc_id,
+         |  ((${TextAnalysis.fingerprintSqlDuck("text")} % 1024) * 2654435761) AS ph FROM documents),
+         |keyed AS (SELECT doc_id, ph, b, (ph >> (b * 16)) & 65535 AS bandkey
+         |          FROM ph, unnest([0, 1, 2, 3]) AS t(b)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |                 a.ph AS pha, b.ph AS phb
+         |          FROM keyed a JOIN keyed b
+         |            ON a.b = b.b AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(pha, phb))::BIGINT AS dist
+         |FROM pairs WHERE bit_count(xor(pha, phb)) <= 8""".stripMargin,
+
+    "q_decode_luma" ->
+      """SELECT doc_id, list_reduce(list_transform(generate_series(0, 63),
+        |  i -> (doc_id * 31 + i) % 256), (a, b) -> a + b)::BIGINT AS px_sum
+        |FROM documents""".stripMargin
   )
 }
