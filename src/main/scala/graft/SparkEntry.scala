@@ -316,6 +316,28 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"), titleUdf(html).as("title"))
     },
 
+    "q_extract_code" -> { (s, d) =>
+      import graft.functions.Html
+      val html = concat(
+        lit("<body><h1>x</h1><pre><code>fn("), col("doc_id").cast("string"),
+        lit(")</code></pre><script>var s='<code>decoy</code>';</script>"),
+        lit("<code>let y = 1 &amp; 2</code></body>"))
+      val codeUdf = udf((h: String) => Html.extractCode(h))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(codeUdf(html)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("code"))
+    },
+
+    "q_extract_math" -> { (s, d) =>
+      import graft.functions.Html
+      val text = concat(lit("intro $x_"), col("doc_id").cast("string"),
+        lit("$ mid $$y+z$$ and \\(w\\) end"))
+      val mathUdf = udf((t: String) => Html.findLatex(t))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(mathUdf(text)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("math"))
+    },
+
     // phash near-dup banding (the in-engine content-dedup shape, oracle-
     // anchored): 64-bit pseudo-phashes from the document fingerprint — exact
     // duplicate texts collide, the 16-bit band join + bit_count(xor) verifies
@@ -544,6 +566,17 @@ object SparkEntry {
 
     "q_extract_title" ->
       "SELECT doc_id, 'Doc ' || doc_id || ' & more' AS title FROM documents",
+
+    "q_extract_code" ->
+      """SELECT doc_id, (j - 1)::BIGINT AS pos,
+        |  CASE WHEN j = 1 THEN 'fn(' || doc_id || ')' ELSE 'let y = 1 & 2' END AS code
+        |FROM documents, unnest([1, 2]) AS t(j)""".stripMargin,
+
+    "q_extract_math" ->
+      """SELECT doc_id, (j - 1)::BIGINT AS pos,
+        |  CASE WHEN j = 1 THEN '$x_' || doc_id || '$'
+        |       WHEN j = 2 THEN '$$y+z$$' ELSE '\(w\)' END AS math
+        |FROM documents, unnest([1, 2, 3]) AS t(j)""".stripMargin,
 
     "q_phash_neardup" ->
       s"""WITH ph AS (SELECT doc_id,

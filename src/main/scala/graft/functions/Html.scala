@@ -207,6 +207,64 @@ object Html {
     decodeEntities(sb.toString).split("\\s+").filter(_.nonEmpty).mkString(" ")
   }
 
+  /** Contents of `<code>`/`<pre>` elements in document order (≙ html->code,
+    * `util/extraction.clj:35-41`): verbatim inner text with nested tags
+    * stripped and entities decoded; nested pre>code emits once. */
+  def extractCode(html: String): Seq[String] = {
+    if (html == null) return Nil
+    val out = ArrayBuffer.empty[String]
+    val lower = html.toLowerCase(Locale.ROOT)
+    var i = 0
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = html.length
+      else if (lt + 1 < html.length && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?'))
+        i = skipSpecial(html, lt)
+      else parseTag(html, lt) match {
+        case None => i = lt + 1
+        case Some(t) =>
+          i = t.end
+          if (!t.closing && (t.name == "code" || t.name == "pre")) {
+            val close = lower.indexOf(s"</${t.name}", i)
+            val end = if (close < 0) html.length else close
+            val inner = html.substring(i, end)
+            // strip nested tags (e.g. <pre><code>), decode entities
+            out += decodeEntities(inner.replaceAll("<[^>]*>", ""))
+            i = if (close < 0) html.length else lower.indexOf('>', close) + 1
+            if (i <= 0) i = html.length
+          } else if (!t.closing && rawText(t.name)) {
+            val close = lower.indexOf(s"</${t.name}", i)
+            i = if (close < 0) html.length else close
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  // ≙ the reference's LaTeX patterns (util/extraction.clj:51-58): $...$ /
+  // $$...$$ spans with no unescaped $ inside, plus \[...\] and \(...\) forms
+  private val dollarLatex =
+    java.util.regex.Pattern.compile("""(?<![$\\])([$]{1,2})[^$\n]+(?<!\\)\1(?!\$)""")
+  private val squareLatex = java.util.regex.Pattern.compile("""\\\[.*\\\]""")
+  private val parenLatex = java.util.regex.Pattern.compile("""\\\(.*\\\)""")
+
+  /** LaTeX math spans found in text, dollar forms first then bracket forms
+    * (≙ find-latex, extraction.clj:54-58). */
+  def findLatex(s: String): Seq[String] = {
+    if (s == null) return Nil
+    def all(p: java.util.regex.Pattern): Seq[String] = {
+      val m = p.matcher(s)
+      val out = ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    all(dollarLatex) ++ all(squareLatex) ++ all(parenLatex)
+  }
+
+  /** Math markup of a page: LaTeX spans of the visible text
+    * (≙ html->math default + find-latex). */
+  def extractMath(html: String): Seq[String] = findLatex(extractText(html))
+
   /** `<title>` content, entity-decoded and whitespace-collapsed
     * (≙ html->title, jericho.clj:48-53). Empty string when absent. */
   def extractTitle(html: String): String = {

@@ -265,6 +265,7 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
           ipState = ipCk,
           phashSeen = state.phashSeen.unionByName(phashDeltaCk))
 
+      if (!cfg.pipelineCommits) Await.result(pendingCommit, Duration.Inf)
       if (totalPages >= maxUrls || cF == 0) stop = true
       r = round
     }

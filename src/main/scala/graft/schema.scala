@@ -105,6 +105,7 @@ final case class CrawlConfig(
     maxRetries: Int = 3,
     workbenchMaxUrls: Long = 1L << 30, // P6 memory term (≙ workbench-max-byte-size)
     reanchorEvery: Int = 8,      // rounds between full state snapshots + compaction
+    pipelineCommits: Boolean = true, // overlap round N+1 compute with N's writes
     cookieMaxBytes: Int = 2048,  // per-host cookie budget (runtime_configuration.clj:31)
     dnsTtlMs: Long = 7200000L,   // DNS re-resolve TTL (≙ ip-purge-interval, 2h)
     // scale knobs

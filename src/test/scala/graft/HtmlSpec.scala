@@ -63,6 +63,24 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText(html) == "T Hello & goodbye two words")
   }
 
+  test("extractCode: pre/code captured once, script decoys skipped") {
+    val html =
+      """<body><pre><code>val x = 1 &lt; 2</code></pre>
+        |<script>var s = '<code>decoy</code>';</script>
+        |<p>text</p><code>inline()</code></body>""".stripMargin
+    assert(Html.extractCode(html) == Seq("val x = 1 < 2", "inline()"))
+  }
+
+  test("findLatex: dollar spans, escaped dollars, bracket forms") {
+    val s = """cost is \$5, math $a+b$ and $$c^2$$ plus \(x\) and \[y\] end"""
+    val found = Html.findLatex(s)
+    assert(found.contains("$a+b$"))
+    assert(found.contains("$$c^2$$"))
+    assert(found.contains("""\(x\)"""))
+    assert(found.contains("""\[y\]"""))
+    assert(!found.exists(_.contains("5,")), s"escaped dollar matched: $found")
+  }
+
   test("extractTitle") {
     assert(Html.extractTitle("<html><title> A &amp;\n B </title></html>") == "A & B")
     assert(Html.extractTitle("<html><body>no title</body></html>") == "")
