@@ -40,6 +40,17 @@ object SeenSet {
   def prefilterPredicate(seen: DataFrame, expectedKeys: Long, fpp: Double): Column = {
     val spark = seen.sparkSession
     val capacity = math.max(1024L, expectedKeys)
+    // the cuckoo aggregate allocates every per-task PARTIAL at full capacity
+    // and ships whole tables between partials — fine for bounded in-session
+    // filters, an OOM/shuffle hazard past ~8 MB per partial. Above that,
+    // go straight to Spark's bloom sketch (exactly-sized partials); the
+    // partitioned PrefilterStore is the engine's real path at 10^8+ keys.
+    if (capacity > (1L << 22)) {
+      val bloom = seen.stat.bloomFilter("url_hash", capacity, fpp)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+      return mightContain(col("url_hash"))
+    }
     val blob = seen.select(CuckooFilterAgg(col("url_hash"), capacity).as("f"))
       .head().getAs[Array[Byte]](0)
     val merged = CuckooFilter.fromBytes(blob)
