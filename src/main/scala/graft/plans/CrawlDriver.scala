@@ -169,11 +169,15 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       // the next round's dequeue both gate on it
       pendingFilterAdd = Future(prefilterStore.addDelta(res.seenDelta))
 
-      // materialize next-round state eagerly (concurrently with the previous
-      // round's still-flushing writes)
-      val frontierCk = res.frontier.localCheckpoint()
-      val ipCk = res.ipState.localCheckpoint()
-      val phashDeltaCk = res.phashSeenDelta.localCheckpoint()
+      // materialize next-round state eagerly — the three checkpoints are
+      // independent, so run them as concurrent jobs (and concurrently with
+      // the previous round's still-flushing writes)
+      val frontierCkF = Future(res.frontier.localCheckpoint())
+      val ipCkF = Future(res.ipState.localCheckpoint())
+      val phashDeltaCkF = Future(res.phashSeenDelta.localCheckpoint())
+      val frontierCk = Await.result(frontierCkF, Duration.Inf)
+      val ipCk = Await.result(ipCkF, Duration.Inf)
+      val phashDeltaCk = Await.result(phashDeltaCkF, Duration.Inf)
 
       // metrics: four independent aggregates over already-checkpointed data —
       // run them as CONCURRENT jobs (was ~4 serial driver round-trips; the

@@ -157,25 +157,32 @@ object CrawlRound {
     // membership"): duplicate = same phash earlier in this round (window
     // rank) or in any prior round (anti-join the compact phash index) —
     // flagged, not dropped, so the decision is auditable and deterministic
+    // `bucket` doubles as the page row's partition LINEAGE (north rule:
+    // per-partition lineage): it names the deterministic politeness/fetch
+    // partition that produced the row — unlike spark_partition_id it is
+    // stable across parallelism levels, so resume bit-identity includes it
     val pagesRaw = fetched.filter(col("status") === 200).select(
-      col("url"), col("url_hash"), col("host"), lit(roundIdx).as("round"),
+      col("url"), col("url_hash"), col("host"), col("bucket"),
+      lit(roundIdx).as("round"),
       col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
       col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
     // dup flags computed on a NARROW projection (never shuffle image bytes
     // through the phash window), checkpointed once, then joined back — the
     // pages and phash_seen writes both reuse the flags without recompute
     val phashW = Window.partitionBy(col("phash")).orderBy(col("url_hash"))
-    val phFlags = pagesRaw.select("url_hash", "phash")
+    // materialized CONCURRENTLY with the (independent) link-dedup below —
+    // both read only the fetched checkpoint; serializing them was pure
+    // added latency on the round's critical path
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val phFlagsF = Future(pagesRaw.select("url_hash", "phash")
       .withColumn("phash_rn", row_number().over(phashW))
       .join(state.phashSeen.select(col("phash")).distinct()
         .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
       .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
       .select("url_hash", "phash_dup")
-      .localCheckpoint()
-    val pagesDelta = pagesRaw.join(phFlags, Seq("url_hash")) // AQE broadcasts the flags
-    val phashSeenDelta = pagesRaw.select("url_hash", "phash")
-      .join(phFlags, Seq("url_hash"))
-      .filter(!col("phash_dup")).select(col("phash")).distinct()
+      .localCheckpoint())
 
     // ---- link extraction + canonicalization (X1, X2) ----
     // extractors that ignore the payload never pull bytes into this stage
@@ -188,6 +195,11 @@ object CrawlRound {
     // links is the most expensive stage of a round — without this both the
     // host-discovery job and the sieve job recompute it from scratch
     val batch = SeenSet.dedupeBatch(rawLinks).localCheckpoint()
+    val phFlags = Await.result(phFlagsF, Duration.Inf)
+    val pagesDelta = pagesRaw.join(phFlags, Seq("url_hash")) // AQE broadcasts the flags
+    val phashSeenDelta = pagesRaw.select("url_hash", "phash")
+      .join(phFlags, Seq("url_hash"))
+      .filter(!col("phash_dup")).select(col("phash")).distinct()
 
     // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
     val newHostNames = batch.select("host").distinct()

@@ -65,6 +65,8 @@ final case class PageRow(
     url: String,
     url_hash: Long,
     host: String,
+    bucket: Int,  // politeness/fetch partition that produced the row —
+                  // deterministic per-partition lineage (north rule)
     round: Int,
     fetch_ts: Long,
     status: Int,
