@@ -165,4 +165,23 @@ object UrlNorm {
 
   /** 64-bit sieve key of the canonical form (north rule: xxhash64). */
   def urlHash(canonical: String): Long = Hashing.xxhash64(canonical)
+
+  /** (host, pathQuery) of an ALREADY-CANONICAL url by index arithmetic —
+    * equals `parse(cu).map(p => (p.host, p.pathQuery))` for every string
+    * produced by [[canonicalize]] (pinned by a UrlNormSpec fuzz test), at
+    * ~1/20th the cost. The canonical grammar guarantees: lowercase scheme,
+    * no userinfo/fragment, authority ends at the first '/', path non-empty.
+    * Only call on canonical output; arbitrary input belongs to [[parse]]. */
+  def splitCanonical(cu: String): (String, String) = {
+    val a0 = cu.indexOf("://") + 3
+    val slash = cu.indexOf('/', a0)
+    if (a0 < 3 || slash < 0) { // not canonical-shaped; fall back to the parser
+      val p = parse(cu).get
+      return (p.host, p.pathQuery)
+    }
+    val auth = cu.substring(a0, slash)
+    val colon = auth.lastIndexOf(':')
+    val host = if (colon >= 0) auth.substring(0, colon) else auth
+    (host, cu.substring(slash))
+  }
 }

@@ -14,6 +14,18 @@ trait LinkExtractor extends Serializable {
     * fetched payload `body`, in document order. */
   def links(url: String, body: Array[Byte]): Seq[String]
 
+  /** Document-order raw link targets BEFORE resolution, paired with
+    * [[resolveTarget]] — the split lets the round memoize canonicalization
+    * of absolute targets across pages (resolution of a scheme-prefixed
+    * target is base-independent per RFC 3986, which every implementation
+    * must preserve). Contract: `rawTargets(u,b).flatMap(resolveTarget(u,_))`
+    * ≡ `links(u,b)`. Default: already-resolved links + identity resolve. */
+  def rawTargets(url: String, body: Array[Byte]): Seq[String] = links(url, body)
+
+  /** Resolve one raw target against the page URL to canonical form.
+    * MUST be base-independent when `raw` starts with "http://"/"https://". */
+  def resolveTarget(base: String, raw: String): Option[String] = Some(raw)
+
   /** Whether the extractor reads the fetched payload. When false the round
     * never ships the (heavy) bytes column through the link stage. */
   def needsBody: Boolean = false
@@ -22,8 +34,12 @@ trait LinkExtractor extends Serializable {
 /** Fast path for the synthetic graph: out-links are a pure function of the
   * URL (≙ BUbiNG's graph-server protocol, reference README.md:36-41). */
 final class SyntheticLinkExtractor(web: SynthWeb) extends LinkExtractor {
+  override def rawTargets(url: String, body: Array[Byte]): Seq[String] =
+    web.links(url)
+  override def resolveTarget(base: String, raw: String): Option[String] =
+    graft.functions.UrlNorm.resolve(base, raw)
   def links(url: String, body: Array[Byte]): Seq[String] =
-    web.links(url).flatMap(h => graft.functions.UrlNorm.resolve(url, h))
+    rawTargets(url, body).flatMap(resolveTarget(url, _))
 }
 
 /** Real-content path: the server wraps each image+caption page in HTML and

@@ -42,6 +42,27 @@ class UrlNormSpec extends AnyFunSuite {
     }
   }
 
+  test("splitCanonical equals the full parser on canonical output (seeded fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val segPool = Array("a", "B", "..", "x1", "%2f", "p q", "%41")
+    (0 until 500).foreach { _ =>
+      val host = "h" + rnd.alphanumeric.take(5).mkString + ".Test"
+      val segs = Array.fill(rnd.nextInt(4))(segPool(rnd.nextInt(segPool.length)))
+      val port = if (rnd.nextBoolean()) ":8080" else ""
+      val q = if (rnd.nextBoolean()) "?k=v%20x" else ""
+      val u = s"http://$host$port/${segs.mkString("/")}$q"
+      UrlNorm.parse(u).foreach { p =>
+        assert(UrlNorm.splitCanonical(p.canonical) == (p.host, p.pathQuery),
+          s"split mismatch for canonical of $u")
+      }
+    }
+    // port + empty-path shapes
+    Seq("http://e.com/", "http://e.com:8080/", "https://e.com:8443/a?x=1").foreach { u =>
+      val p = UrlNorm.parse(u).get
+      assert(UrlNorm.splitCanonical(p.canonical) == (p.host, p.pathQuery))
+    }
+  }
+
   test("percent normalization: unreserved decoded, illegal encoded, idempotent") {
     // ≙ lambdaisland normalize semantics (reference util/url.clj:46-53):
     // '%41' and 'A' are THE SAME URL and must not duplicate frontier entries
