@@ -178,13 +178,16 @@ object CrawlRound {
     // extractors that ignore the payload never pull bytes into this stage.
     // Dedup-before-expensive-work, partition-locally (no shuffle): pages of
     // one host fetch in one politeness partition and link mostly within the
-    // host, so most duplicate targets repeat WITHIN a partition — resolving
-    // each absolute target once (memo) and emitting each canonical URL once
-    // (set) cuts both the canonicalize CPU and the dedupe-shuffle bytes by
-    // ~2-3x at every scale (at 10^10 URLs this is the difference between
-    // shuffling the raw out-degree and shuffling the distinct out-links).
-    // Both tables are CAPPED: past the cap rows pass through unmemoized /
-    // undeduped — pure optimization, exact dedup still happens downstream.
+    // host, so most duplicate targets repeat WITHIN a partition — emitting
+    // each canonical URL once per partition cuts the dedupe-shuffle volume
+    // and the downstream parse work 2-3x at every scale (at 10^10 URLs this
+    // is shuffling the distinct out-links instead of the raw out-degree).
+    // The local set keys on xxhash64(canonical) — the SAME key the sieve and
+    // the exact dedup use everywhere (north rule) — held in a flat long[]
+    // (LongSet): a boxed HashSet here measured 3-6x the GC wall-time. On
+    // overflow the set reports keys as new (pass-through): the exact
+    // url_hash dedup downstream is unchanged, so this stage only ever
+    // REMOVES bytes from the shuffle, never rows from the result.
     val bodyCol = if (ex.needsBody) col("bytes") else lit(null).cast("binary")
     val rawLinks = {
       import spark.implicits._
@@ -192,32 +195,21 @@ object CrawlRound {
         .select(col("url").as("_1"), bodyCol.as("_2"))
         .as[(String, Array[Byte])]
         .mapPartitions { it =>
-          val memo = new java.util.HashMap[String, String]() // absolute raw -> canonical ("" = invalid)
-          val emitted = new java.util.HashSet[String]()
-          val memoCap = 1 << 21; val emitCap = 1 << 22 // bound task memory at scale
+          val emitted = new graft.functions.LongSet(21) // 2M slots, ~16 MB/task
           it.flatMap { case (base, body) =>
             ex.rawTargets(base, body).iterator.flatMap { raw =>
-              val cu =
-                if (raw != null && (raw.startsWith("http://") || raw.startsWith("https://"))) {
-                  var c = memo.get(raw)
-                  if (c == null) {
-                    c = ex.resolveTarget(base, raw).getOrElse("")
-                    if (memo.size < memoCap) memo.put(raw, c)
-                  }
-                  if (c.isEmpty) None else Some(c)
-                } else ex.resolveTarget(base, raw)
-              cu.flatMap { u =>
-                if (emitted.size < emitCap && !emitted.add(u)) None
+              ex.resolveTarget(base, raw).flatMap { u =>
+                val h64 = Hashing.xxhash64(u) // bit-equal to Catalyst xxhash64
+                if (!emitted.add(h64)) None
                 else {
-                  val (h, pq) = graft.functions.UrlNorm.splitCanonical(u)
-                  Some((u, h, pq))
+                  val (h, pq) = UrlNorm.splitCanonical(u)
+                  Some((u, h, pq, h64))
                 }
               }
             }
           }
         }
-        .toDF("url", "host", "path_query")
-        .withColumn("url_hash", xxhash64(col("url")))
+        .toDF("url", "host", "path_query", "url_hash")
     }
     // checkpoint: the UDF-canonicalize + dedupe chain over ~degree×pages
     // links is the most expensive stage of a round — without this both the
