@@ -195,7 +195,9 @@ object CrawlRound {
         .select(col("url").as("_1"), bodyCol.as("_2"))
         .as[(String, Array[Byte])]
         .mapPartitions { it =>
-          val emitted = new graft.functions.LongSet(21) // 2M slots, ~16 MB/task
+          // 1M slots (8 MB flat array; dedups up to ~734k distinct links per
+          // partition — ~3x the steady-state ~244k — then passes through)
+          val emitted = new graft.functions.LongSet(20)
           it.flatMap { case (base, body) =>
             ex.rawTargets(base, body).iterator.flatMap { raw =>
               ex.resolveTarget(base, raw).flatMap { u =>
