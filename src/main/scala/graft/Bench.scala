@@ -19,7 +19,8 @@ object Bench {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
-      .config("spark.sql.shuffle.partitions", (cores * 2).toString)
+      .config("spark.sql.shuffle.partitions",
+        (cores * env("SPARK_GRAFT_BENCH_PARTS_PER_CORE", "2").toInt).toString)
       .config("spark.sql.adaptive.enabled", "true")
       // crawl stages are CPU-heavy per byte; keep shuffle partitions from
       // being size-coalesced down to 1-2 tasks (see CrawlMain)
@@ -77,7 +78,8 @@ object Bench {
     val parentOpts = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
       .filterNot(_.startsWith("-XX:ActiveProcessorCount"))
-    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ parentOpts ++
+    val gcOpts = sys.env.get("SPARK_GRAFT_BENCH_GC").map(g => Seq(s"-XX:+Use${g}GC")).getOrElse(Nil)
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ parentOpts ++ gcOpts ++
       Seq(s"-XX:ActiveProcessorCount=$cores", "-cp", cp,
         "graft.Bench", "--crawl-child", cores.toString, rounds.toString)
     val pb = new ProcessBuilder(cmd: _*)
@@ -134,7 +136,8 @@ object Bench {
     // once into a cache and copy (setup cost, excluded from timing anyway;
     // this just keeps multi-trial benches inside the wall-clock budget)
     locally {
-      val cache = base.resolve(s"graft_bench_corpus_${cfg.hashCode.toHexString}")
+      val cache = base.resolve(
+        s"graft_bench_corpus_v${SynthWeb.corpusFormatVersion}_${cfg.hashCode.toHexString}")
       if (!java.nio.file.Files.exists(cache)) {
         val tmp = base.resolve(cache.getFileName.toString + ".tmp")
         org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
@@ -154,6 +157,21 @@ object Bench {
           val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
           if (secs > 0.5)
             System.err.println(f"[c$cores stage ${si.stageId}%4d] $secs%6.2fs tasks=${si.numTasks}%3d ${si.name.take(60)}")
+        }
+        // job-level timeline: windows where NO job is running = driver-side
+        // serial remainder (planning, Await joins, commit bookkeeping)
+        private var active = 0
+        private var idleFrom = 0L
+        override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
+          if (active == 0 && idleFrom > 0) {
+            val gap = (e.time - idleFrom) / 1e3
+            if (gap > 0.3) System.err.println(f"[c$cores IDLE ] $gap%6.2fs before job ${e.jobId}")
+          }
+          active += 1
+        }
+        override def onJobEnd(e: SparkListenerJobEnd): Unit = synchronized {
+          active -= 1
+          if (active == 0) idleFrom = e.time
         }
       })
     }
@@ -206,9 +224,14 @@ object Bench {
     // not masquerade as a fast pass in the bench record.
     val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
     val spark = session(cpus)
-    // one untimed action absorbs session warmup (codegen init, FS probes)
-    // so the alphabetically-first query doesn't carry ~3s of one-time cost
+    // untimed actions absorb session warmup (codegen init, FS probes, and
+    // the one-time Hadoop FileSystem + vectorized-parquet-reader class init
+    // of the first parquet scan) so the alphabetically-first queries don't
+    // carry seconds of one-time cost that belongs to the session
     spark.range(1000).selectExpr("sum(id)").collect()
+    if (!skipQueries)
+      try spark.read.parquet(s"$sfDir/region.parquet").limit(1).collect()
+      catch { case _: Exception => () } // warmup only — never fail the bench
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = (if (skipQueries) Nil else SparkEntry.queries.toSeq.sortBy(_._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()

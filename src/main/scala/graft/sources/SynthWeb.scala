@@ -166,6 +166,11 @@ object SynthWeb {
     CorpusRow(f"img$i%09d", bytes, w, h, fmt, caption(i, cfg.seed), Images.phash64(px, w, h))
   }
 
+  /** Bump when the GENERATION CODE of [[corpus]]/[[corpusRow]] changes —
+    * cross-run corpus caches (Bench) key on (this, cfg.hashCode); a code
+    * change without a version bump would silently serve stale rows. */
+  val corpusFormatVersion = 1
+
   /** Distributed corpus generation — the input-side "Iceberg table of image +
     * caption pairs". Generated once per run, then fetch is a pure join. */
   def corpus(spark: SparkSession, cfg: CrawlConfig): Dataset[CorpusRow] = {
