@@ -40,11 +40,17 @@ object ScaleProbe {
       verifySample = 1, numBuckets = 64, maxUrlsPerHost = 500)
     val web = new SynthWeb(cfg)
     val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_WORKBASE", "/tmp")), s"probe_$cores").toString
-    val d = new CrawlDriver(spark, cfg, dir)
-    val m = d.run(web.seedsDf(spark, hosts.toLong * batch), maxRounds = rounds, maxUrls = Long.MaxValue)
-    m.foreach(x => println(s"""{"round":${x.round},"deq":${x.dequeued},"wall_ms":${x.wall_ms}}"""))
-    val urls = m.map(_.dequeued).sum; val sec = m.map(_.wall_ms).sum / 1e3
-    println(f"""{"cores":$cores,"urls":$urls,"round_sec":$sec%.1f,"ups":${urls / sec}%.1f}""")
-    spark.stop()
+    // try/finally: a leaked probe workdir is ~0.5-5 GB; accumulated leaks
+    // filled the disk in round 2 and crashed the official bench
+    try {
+      val d = new CrawlDriver(spark, cfg, dir)
+      val m = d.run(web.seedsDf(spark, hosts.toLong * batch), maxRounds = rounds, maxUrls = Long.MaxValue)
+      m.foreach(x => println(s"""{"round":${x.round},"deq":${x.dequeued},"wall_ms":${x.wall_ms}}"""))
+      val urls = m.map(_.dequeued).sum; val sec = m.map(_.wall_ms).sum / 1e3
+      println(f"""{"cores":$cores,"urls":$urls,"round_sec":$sec%.1f,"ups":${urls / sec}%.1f}""")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      spark.stop()
+    }
   }
 }

@@ -21,7 +21,7 @@ class AnnSpec extends AnyFunSuite {
   test("ivf: persisted index equals in-flight operator; scan prunes cells") {
     val emb = embeddings(400, 16).cache()
     val q = emb.filter(col("vec_id") === 3).head().getSeq[Float](1).toArray
-    val dir = Files.createTempDirectory("ann_ivf").toString
+    val dir = TestSpark.tempDir("ann_ivf")
     AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 8)
     val flight = Ann.ivfTopK(emb, "vec_id", "embedding", q, 10, nlist = 8, nprobe = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -42,7 +42,7 @@ class AnnSpec extends AnyFunSuite {
   test("lsh: persisted bucket index equals in-flight; one-bucket scan") {
     val emb = embeddings(300, 16).cache()
     val q = emb.filter(col("vec_id") === 5).head().getSeq[Float](1).toArray
-    val dir = Files.createTempDirectory("ann_lsh").toString
+    val dir = TestSpark.tempDir("ann_lsh")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, nbits = 4)
     val flight = Ann.lshTopK(emb, "vec_id", "embedding", q, 5, nbits = 4)
       .collect().map(_.getLong(0)).toSeq

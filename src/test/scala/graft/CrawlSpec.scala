@@ -23,7 +23,7 @@ class CrawlSpec extends AnyFunSuite {
     brokenHostFraction = 0.1)
 
   private def freshDir(): String =
-    Files.createTempDirectory("crawl_spec").toString
+    TestSpark.tempDir("crawl_spec")
 
   test("3-round crawl: core invariants hold") {
     val dir = freshDir()

@@ -28,7 +28,7 @@ class GoldenSpec extends AnyFunSuite {
 
   test("pinned crawl ordering and seen set for the golden config") {
     val web = new SynthWeb(cfg)
-    val dir = Files.createTempDirectory("golden").toString
+    val dir = TestSpark.tempDir("golden")
     val d = new CrawlDriver(spark, cfg, dir)
     d.run(web.seeds(8), maxRounds = 4, maxUrls = Long.MaxValue)
     val r = d.latestRound().get

@@ -105,7 +105,7 @@ class HtmlSpec extends AnyFunSuite {
     val web = new SynthWeb(cfg)
     def crawl(ex: Option[graft.operators.LinkExtractor]): (Seq[Long], Seq[Long]) = {
       val d = new CrawlDriver(spark, cfg,
-        Files.createTempDirectory("html_e2e").toString, ex)
+        TestSpark.tempDir("html_e2e"), ex)
       d.run(web.seeds(5), maxRounds = 3, maxUrls = Long.MaxValue)
       val r = d.latestRound().get
       (d.pages(r).select("url_hash").collect().map(_.getLong(0)).toSeq.sorted,

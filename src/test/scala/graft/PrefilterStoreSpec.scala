@@ -15,7 +15,7 @@ class PrefilterStoreSpec extends AnyFunSuite {
   test("10^7-key distributed build: no false negatives, bounded bucket files") {
     import spark.implicits._
     val n = 10000000L
-    val dir = Files.createTempDirectory("prefilter").toString
+    val dir = TestSpark.tempDir("prefilter")
     val store = new PrefilterStore(dir, numBuckets = 32,
       capacityPerBucket = (n / 32 * 11) / 10)
     // synthetic 64-bit keys spread over the full hash space
@@ -42,7 +42,7 @@ class PrefilterStoreSpec extends AnyFunSuite {
 
   test("incremental versioned updates; resume re-insertion is idempotent") {
     import spark.implicits._
-    val dir = Files.createTempDirectory("prefilter_inc").toString
+    val dir = TestSpark.tempDir("prefilter_inc")
     val store = new PrefilterStore(dir, numBuckets = 4, capacityPerBucket = 10000)
     def keys(from: Long, to: Long) =
       spark.range(from, to).select(xxhash64(col("id")).as("url_hash"))
@@ -66,7 +66,7 @@ class PrefilterStoreSpec extends AnyFunSuite {
     val web = new graft.sources.SynthWeb(base)
     def crawl(cfg: CrawlConfig): (Long, Seq[Long]) = {
       val d = new graft.plans.CrawlDriver(spark, cfg,
-        Files.createTempDirectory("pf_crawl").toString)
+        TestSpark.tempDir("pf_crawl"))
       d.run(web.seeds(6), maxRounds = 3, maxUrls = Long.MaxValue)
       val r = d.latestRound().get
       (d.pages(r).count(),

@@ -12,7 +12,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming tumbling counts match the batch aggregation") {
     // file streaming source requires a directory of files
-    val srcDir = java.nio.file.Files.createTempDirectory("stream_in")
+    val srcDir = java.nio.file.Paths.get(TestSpark.tempDir("stream_in"))
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       srcDir.resolve("events.parquet"))

@@ -16,4 +16,18 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** All suite workdirs live under one per-JVM root that a shutdown hook
+    * deletes — a full `sbt test` writes gigabytes of crawl output, and
+    * leaked dirs accumulate across runs until the disk fills (this exact
+    * leak broke round 2's bench record with ENOSPC mid-shuffle). */
+  private lazy val tempRoot: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_test_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(r.toFile): Unit))
+    r
+  }
+
+  def tempDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(tempRoot, prefix).toString
 }
