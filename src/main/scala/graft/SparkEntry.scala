@@ -338,6 +338,19 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("math"))
     },
 
+    "q_extract_lang" -> { (s, d) =>
+      import graft.functions.Html
+      val html = concat(
+        lit("""<html lang="en"><head><script>var x='<p lang="xx">d</p>';</script></head><body>"""),
+        lit("""<!-- <span lang="zz">c</span> --><div lang="">empty declares nothing</div>"""),
+        lit("""<p lang="fr-"""), pmod(col("doc_id"), lit(3)).cast("string"), lit("""">txt</p>"""),
+        lit("""<span lang="de&amp;x">y</span></body></html>"""))
+      val exUdf = udf((h: String) => Html.extractLangAttrs(h))
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(exUdf(html)))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("lang"))
+    },
+
     // phash near-dup banding (the in-engine content-dedup shape, oracle-
     // anchored): 64-bit pseudo-phashes from the document fingerprint — exact
     // duplicate texts collide, the 16-bit band join + bit_count(xor) verifies
@@ -440,7 +453,7 @@ object SparkEntry {
         |WHERE NOT (starts_with(path, '/src1') OR starts_with(path, '/src3'))""".stripMargin,
 
     "q_dedup_exact" ->
-      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
 
     "q_dedup_jaccard" ->
       s"""WITH $duckShingles,
@@ -576,6 +589,13 @@ object SparkEntry {
       """SELECT doc_id, (j - 1)::BIGINT AS pos,
         |  CASE WHEN j = 1 THEN '$x_' || doc_id || '$'
         |       WHEN j = 2 THEN '$$y+z$$' ELSE '\(w\)' END AS math
+        |FROM documents, unnest([1, 2, 3]) AS t(j)""".stripMargin,
+
+    "q_extract_lang" ->
+      """SELECT doc_id, (j - 1)::BIGINT AS pos,
+        |  CASE WHEN j = 1 THEN 'en'
+        |       WHEN j = 2 THEN 'fr-' || (doc_id % 3)
+        |       ELSE 'de&x' END AS lang
         |FROM documents, unnest([1, 2, 3]) AS t(j)""".stripMargin,
 
     "q_phash_neardup" ->

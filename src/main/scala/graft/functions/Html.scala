@@ -138,6 +138,10 @@ object Html {
   def extractLinksRaw(html: String): (Option[String], Seq[String]) = {
     if (html == null) return (None, Nil)
     val out = ArrayBuffer.empty[String]
+    // at most ONE lowered copy per document, computed on first raw-text
+    // element — recomputing per <script>/<style> occurrence was O(tags ×
+    // length) allocation in the hottest extraction path (ADVICE r2)
+    lazy val lower = html.toLowerCase(Locale.ROOT)
     var baseHref: Option[String] = None
     var i = 0
     while (i < html.length) {
@@ -152,7 +156,7 @@ object Html {
           if (!t.closing) {
             if (rawText(t.name)) {
               // skip to the matching close tag; raw-text content may contain '<'
-              val close = html.toLowerCase(Locale.ROOT).indexOf(s"</${t.name}", i)
+              val close = lower.indexOf(s"</${t.name}", i)
               i = if (close < 0) html.length else close
             } else if (t.name == "base" && baseHref.isEmpty && t.attrs.contains("href")) {
               baseHref = Some(decodeEntities(t.attrs("href")).trim)
@@ -183,6 +187,7 @@ object Html {
   def extractText(html: String): String = {
     if (html == null) return ""
     val sb = new StringBuilder
+    lazy val lower = html.toLowerCase(Locale.ROOT) // one copy per call, on demand
     var i = 0
     while (i < html.length) {
       val lt = html.indexOf('<', i)
@@ -196,7 +201,7 @@ object Html {
           case Some(t) =>
             i = t.end
             if (!t.closing && rawText(t.name)) {
-              val close = html.toLowerCase(Locale.ROOT).indexOf(s"</${t.name}", i)
+              val close = lower.indexOf(s"</${t.name}", i)
               i = if (close < 0) html.length else close
             } else if (blockTags(t.name)) {
               sb.append(' ') // block boundary (open or close) separates words
@@ -264,6 +269,37 @@ object Html {
   /** Math markup of a page: LaTeX spans of the visible text
     * (≙ html->math default + find-latex). */
   def extractMath(html: String): Seq[String] = findLatex(extractText(html))
+
+  /** `lang` attribute values of all elements in document order
+    * (≙ html->lang-attrs, `util/extraction.clj:27-34`, collected by the
+    * jericho engine at `util/extraction/jericho.clj:52-58` / jsoup at
+    * `jsoup.clj:46-48`). Comment/script/style content never contributes;
+    * empty attribute values are kept out (an empty `lang` declares nothing). */
+  def extractLangAttrs(html: String): Seq[String] = {
+    if (html == null) return Nil
+    val out = ArrayBuffer.empty[String]
+    lazy val lower = html.toLowerCase(Locale.ROOT)
+    var i = 0
+    while (i < html.length) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) i = html.length
+      else if (lt + 1 < html.length && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?'))
+        i = skipSpecial(html, lt)
+      else parseTag(html, lt) match {
+        case None => i = lt + 1
+        case Some(t) =>
+          i = t.end
+          if (!t.closing) {
+            if (rawText(t.name)) {
+              val close = lower.indexOf(s"</${t.name}", i)
+              i = if (close < 0) html.length else close
+            } else t.attrs.get("lang").map(v => decodeEntities(v).trim)
+              .filter(_.nonEmpty).foreach(out += _)
+          }
+      }
+    }
+    out.toSeq
+  }
 
   /** `<title>` content, entity-decoded and whitespace-collapsed
     * (≙ html->title, jericho.clj:48-53). Empty string when absent. */

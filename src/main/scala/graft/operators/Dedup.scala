@@ -23,9 +23,15 @@ object Dedup {
   import TextAnalysis.P
 
   /** Exact duplicate removal: canonical representative = min(id) per key.
-    * At scale this is a single shuffle on the (hashed) text. */
+    *
+    * Keyed on md5(text), not text: the aggregate then shuffles 16-byte
+    * digests instead of entire document bodies (VERDICT r2 #4 — grouping by
+    * full text ships the corpus through the exchange at 100 TB). 128 bits is
+    * collision-free in practice at 10^10 docs (birthday bound ~2^-94 per
+    * pair); a paranoid pipeline can re-verify within groups downstream. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+    df.groupBy(md5(encode(col(textCol), "UTF-8")).as("__k"))
+      .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
   /** (id, shingle_hash) pairs — distinct word-k-gram hashes per document.

@@ -65,27 +65,46 @@ object Fetch {
 
   /** @param dequeued scheduler output: frontier cols + (ip, bucket, broken, crawl_delay_ms)
     * @param corpusWithIdx corpus table + `corpus_idx` long column
-    * @return dequeued cols + (status, error, fetch_ts, image payload cols; payload
-    *         null unless status=200)
+    * @param serveHtml when true the server also returns the page's HTML
+    *        rendering as a `page_bytes` payload column (status 200 only) —
+    *        the link stage then parses the ACTUAL fetched bytes, matching the
+    *        reference's parse-what-you-fetched contract
+    *        (`workers/parsing_thread.clj:37-74`). False keeps the column
+    *        null and the synthetic-graph fast path ships no page bytes.
+    * @return dequeued cols + (status, error, fetch_ts, page_bytes, image
+    *         payload cols; payloads null unless status=200)
     */
   def run(dequeued: DataFrame, corpusWithIdx: DataFrame, web: graft.sources.SynthWeb,
-          cfg: CrawlConfig, roundTs: Long): DataFrame = {
+          cfg: CrawlConfig, roundTs: Long, serveHtml: Boolean = false): DataFrame = {
     val status = when(col("broken"), lit(-1))
       .otherwise(when(pmod(xxhash64(col("url_hash")), lit(50)) === 0, lit(404))
         .otherwise(lit(200)))
     // broken hosts fail with a deterministic per-host error CLASS so the full
     // policy table (retry waits, killer purges, URL drops) is exercised
     val errClassUdf = udf((h: String) => web.errorClass(h))
-    // synthetic Set-Cookie: the server hands each host a stable session token
-    // (G3 plumbing — the jar lives on host_state and is budget-truncated)
+    // synthetic session round-trip (G3 ≙ fetching_thread.clj:209-225): the
+    // request PRESENTS the host's jar (`cookies` rides in from the
+    // scheduler), the server validates the session token, and only hands out
+    // Set-Cookie when the request carried no valid one — so the replayed
+    // header deterministically changes the response, like a real session
+    val sentSid = element_at(col("cookies"), "sid")
+    val expectedSid = hex(xxhash64(col("host")))
     val attempted = dequeued
       .withColumn("status", status)
       .withColumn("error",
         when(col("status") === -1, errClassUdf(col("host"))).otherwise(lit(null).cast("string")))
       .withColumn("set_cookie",
-        when(col("status") === 200, concat(lit("sid="), hex(xxhash64(col("host")))))
+        when(col("status") === 200 &&
+            (sentSid.isNull || sentSid =!= expectedSid),
+          concat(lit("sid="), expectedSid))
           .otherwise(lit(null).cast("string")))
       .withColumn("fetch_ts", lit(roundTs))
+      .withColumn("page_bytes",
+        if (serveHtml) {
+          val htmlUdf = udf((u: String) =>
+            web.htmlBody(u).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          when(col("status") === 200, htmlUdf(col("url"))).otherwise(lit(null).cast("binary"))
+        } else lit(null).cast("binary"))
       .withColumn("pick",
         when(col("status") === 200, pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))
           .otherwise(lit(null).cast("long")))

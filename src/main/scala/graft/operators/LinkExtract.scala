@@ -42,12 +42,18 @@ final class SyntheticLinkExtractor(web: SynthWeb) extends LinkExtractor {
     rawTargets(url, body).flatMap(resolveTarget(url, _))
 }
 
-/** Real-content path: the server wraps each image+caption page in HTML and
-  * the engine extracts anchors with the real parser ([[Html.extractLinks]] —
-  * nofollow-aware, base-href-aware, comment/script-blind). Under the
-  * deterministic renderer this must reproduce the synthetic graph exactly,
-  * which the equivalence test pins. */
+/** Real-content path: the server serves each page's HTML rendering as the
+  * fetch payload (`page_bytes`) and the engine parses THOSE bytes with the
+  * real parser ([[Html.extractLinks]] — nofollow-aware, base-href-aware,
+  * comment/script-blind) — the reference's parse-what-you-fetched contract
+  * (`workers/parsing_thread.clj:37-74`: the parsing thread consumes the
+  * fetched response body, never re-fetches). Under the deterministic
+  * renderer this must reproduce the synthetic graph exactly, which the
+  * equivalence test pins end-to-end through the bytes column. */
 final class HtmlPageExtractor(web: SynthWeb) extends LinkExtractor {
+  override def needsBody: Boolean = true
   def links(url: String, body: Array[Byte]): Seq[String] =
-    Html.extractLinks(web.htmlBody(url), url)
+    if (body == null) Nil
+    else Html.extractLinks(
+      new String(body, java.nio.charset.StandardCharsets.UTF_8), url)
 }

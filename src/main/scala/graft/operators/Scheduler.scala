@@ -83,8 +83,11 @@ object Scheduler {
     val liveHosts = hostState
       .join(queuedHosts, Seq("host"), "left_semi")
       .filter(col("status") === "live" && col("next_fetch") <= lit(roundTs))
+      // the host's cookie jar rides along: the fetch stage presents it back
+      // to the server per request (G3 replay ≙ fetching_thread.clj:209-225
+      // clear + re-add cookies before each fetch)
       .select(col("host"), col("ip"), col("bucket"), col("broken"),
-        col("crawl_delay_ms"), col("next_fetch").as("host_next_fetch"))
+        col("crawl_delay_ms"), col("cookies"), col("next_fetch").as("host_next_fetch"))
     val readyIps = ipState
       .filter(col("next_fetch") <= lit(roundTs))
       .select(col("ip"))

@@ -141,7 +141,8 @@ object CrawlRound {
     // driver does not re-analyze the whole round DAG on every downstream
     // action — with ~13 actions/round the repeated Catalyst passes were the
     // dominant serial cost, dwarfing actual task time
-    val fetched = Fetch.run(dequeued, corpusWithIdx, web, cfg, ts).localCheckpoint()
+    val fetched = Fetch.run(dequeued, corpusWithIdx, web, cfg, ts,
+      serveHtml = ex.needsBody).localCheckpoint()
 
     // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
     // membership"): duplicate = same phash earlier in this round (window
@@ -188,7 +189,7 @@ object CrawlRound {
     // overflow the set reports keys as new (pass-through): the exact
     // url_hash dedup downstream is unchanged, so this stage only ever
     // REMOVES bytes from the shuffle, never rows from the result.
-    val bodyCol = if (ex.needsBody) col("bytes") else lit(null).cast("binary")
+    val bodyCol = if (ex.needsBody) col("page_bytes") else lit(null).cast("binary")
     val rawLinks = {
       import spark.implicits._
       fetched.filter(col("status") === 200)
@@ -277,11 +278,18 @@ object CrawlRound {
       .localCheckpoint()
 
     // ---- host state update (P3, P4, G2, F6, N2, N3) ----
+    // ordered aggregates, never first(): first() after a groupBy is
+    // order-nondeterministic in Spark — it only looked deterministic here
+    // because the synthetic error/cookie are pure functions of the host.
+    // min_by over the unique url_hash (rows with a null candidate carry a
+    // null ordering key, which min_by skips) gives a total-order choice
+    // that keeps the bit-identity contract under ANY fetch implementation.
     val hostOutcome = fetched.groupBy(col("host")).agg(
       sum(when(col("status") === 200, 1).otherwise(0)).as("ok_cnt"),
       sum(when(col("status") === -1, 1).otherwise(0)).as("err_cnt"),
-      first(col("error"), ignoreNulls = true).as("err"),
-      first(col("set_cookie"), ignoreNulls = true).as("cookie_hdr"))
+      min_by(col("error"), when(col("error").isNotNull, col("url_hash"))).as("err"),
+      min_by(col("set_cookie"),
+        when(col("set_cookie").isNotNull, col("url_hash"))).as("cookie_hdr"))
     val newEnq = newRows.groupBy(col("host")).agg(count(lit(1)).as("new_cnt"))
 
     val allHosts = state.hostState.withColumn("__new", lit(false))

@@ -206,6 +206,38 @@ class CrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("cookie replay: a valid presented session token changes the response") {
+    // request with no/invalid sid -> server issues Set-Cookie; request
+    // replaying the jar's valid sid -> no Set-Cookie (session round-trip,
+    // ≙ fetching_thread.clj:209-225 clear+re-add before each fetch)
+    import spark.implicits._
+    val web = new SynthWeb(cfg)
+    val corpus = SynthWeb.corpus(spark, cfg).toDF()
+      .withColumn(
+        "corpus_idx", expr("cast(substring(image_id, 4, 9) as long)"))
+    val host = web.hostName(1)
+    val validSid = java.lang.Long.toHexString(
+      // Catalyst hex() emits uppercase
+      functions.Hashing.xxhash64(host)).toUpperCase
+    def fetchWith(jar: Map[String, String]): Option[String] = {
+      // find a url_hash that yields status 200 (not the 2% synthetic 404s)
+      val u = (0 until 20).map(p => web.url(1, p.toLong))
+        .find(u => web.httpStatus(functions.Hashing.xxhash64(u))== 200).get
+      val dequeued = Seq((u, functions.Hashing.xxhash64(u), host, "/p", 1L, 0, 0,
+        web.resolveIp(host), 0, false, 1000L, jar))
+        .toDF("url", "url_hash", "host", "path_query", "seq_no", "priority",
+          "round_added", "ip", "bucket", "broken", "crawl_delay_ms", "cookies")
+      val r = graft.operators.Fetch.run(dequeued, corpus, web, cfg, 0L).collect().head
+      Option(r.getAs[String]("set_cookie"))
+    }
+    val issued = fetchWith(Map.empty)
+    assert(issued.contains(s"sid=$validSid"), s"no session issued: $issued")
+    assert(fetchWith(Map("sid" -> validSid)).isEmpty,
+      "server re-issued the session despite a valid replayed cookie")
+    assert(fetchWith(Map("sid" -> "BOGUS")).contains(s"sid=$validSid"),
+      "server must re-issue on an invalid session token")
+  }
+
   test("dns ttl: stale entries re-resolve (resolved_at advances)") {
     val cfgD = cfg.copy(dnsTtlMs = 1L) // everything stale every round
     val web = new SynthWeb(cfgD)
@@ -221,6 +253,36 @@ class CrawlSpec extends AnyFunSuite {
     val bad = hs.collect().count(x =>
       x.getAs[Long]("ip") != web.resolveIp(x.getAs[String]("host")))
     assert(bad == 0)
+  }
+
+  test("host outcome aggregation is bit-stable when one host mixes error classes") {
+    // the production fetch stage could legitimately yield DIFFERENT error
+    // classes for one host in one round; the host-outcome aggregate must be
+    // a pure function of the row SET, not of partitioning or arrival order
+    // (first() after groupBy silently breaks this — VERDICT r2 #3)
+    import spark.implicits._
+    val rows = Seq( // (host, url_hash, status, error, set_cookie)
+      ("h1", 30L, -1, "socket_timeout", null.asInstanceOf[String]),
+      ("h1", 10L, -1, "connect_timeout", null.asInstanceOf[String]),
+      ("h1", 20L, -1, "socket_error", null.asInstanceOf[String]),
+      ("h1", 5L, 200, null.asInstanceOf[String], "sid=AA"),
+      ("h1", 7L, 200, null.asInstanceOf[String], "sid=BB"),
+      ("h2", 1L, -1, "unknown_host", null.asInstanceOf[String]))
+    def outcome(shuffled: Seq[(String, Long, Int, String, String)], parts: Int) =
+      shuffled.toDF("host", "url_hash", "status", "error", "set_cookie")
+        .repartition(parts)
+        .groupBy(col("host")).agg(
+          min_by(col("error"), when(col("error").isNotNull, col("url_hash"))).as("err"),
+          min_by(col("set_cookie"),
+            when(col("set_cookie").isNotNull, col("url_hash"))).as("cookie_hdr"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq.sortBy(_._1)
+    val a = outcome(rows, 1)
+    val b = outcome(rows.reverse, 4)
+    val c = outcome(scala.util.Random.shuffle(rows), 3)
+    assert(a == b && b == c, "host outcome depends on row order/partitioning")
+    // total-order choice: the url_hash-smallest error / cookie row wins
+    assert(a == Seq(("h1", "connect_timeout", "sid=AA"), ("h2", "unknown_host", null)))
   }
 
   test("external stop: a STOP file in the workDir halts the round loop") {

@@ -81,6 +81,17 @@ class HtmlSpec extends AnyFunSuite {
     assert(!found.exists(_.contains("5,")), s"escaped dollar matched: $found")
   }
 
+  test("extractLangAttrs: document order, decoys blind, empties dropped") {
+    val html =
+      """<html lang="en"><head><script>var x = '<p lang="xx">d</p>';</script></head>
+        |<body><!-- <i lang="zz">c</i> --><div lang="">e</div>
+        |<p lang="fr-CA">bonjour</p><span LANG='de'>x</span>
+        |<td lang="pt&amp;br">y</td></body></html>""".stripMargin
+    assert(Html.extractLangAttrs(html) == Seq("en", "fr-CA", "de", "pt&br"))
+    assert(Html.extractLangAttrs("<p>none</p>") == Nil)
+    assert(Html.extractLangAttrs(null) == Nil)
+  }
+
   test("extractTitle") {
     assert(Html.extractTitle("<html><title> A &amp;\n B </title></html>") == "A & B")
     assert(Html.extractTitle("<html><body>no title</body></html>") == "")
@@ -91,9 +102,11 @@ class HtmlSpec extends AnyFunSuite {
     val web = new SynthWeb(cfg)
     val synth = new SyntheticLinkExtractor(web)
     val html = new HtmlPageExtractor(web)
+    assert(html.needsBody, "the real-content extractor must consume fetched bytes")
     (0 until 16).foreach { i =>
       val u = web.url(i, (i * 3).toLong)
-      assert(html.links(u, null) == synth.links(u, null), s"extractor mismatch at $u")
+      val body = web.htmlBody(u).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(html.links(u, body) == synth.links(u, null), s"extractor mismatch at $u")
     }
   }
 
