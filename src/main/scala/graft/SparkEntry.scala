@@ -18,10 +18,22 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** Deterministic per-(dataset, variant) location for a persisted ANN
-    * index — built once, reused across queries of one dataset. */
+    * index — built once, reused across queries of one dataset. The digest
+    * includes a CONTENT fingerprint of the source parquet (file names,
+    * sizes, mtimes): regenerated testdata at the same path then maps to a
+    * fresh index dir instead of silently serving stale cells (ADVICE r2). */
   private def annIndexDir(s: SparkSession, dataDir: String, variant: String): String = {
+    val src = java.nio.file.Paths.get(s"$dataDir/embeddings.parquet")
+    val sig =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .map(p => s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toSeq.sorted.mkString(",")
+      } else ""
     val digest = java.lang.Long.toHexString(
-      graft.functions.Hashing.xxhash64(s"$dataDir#$variant"))
+      graft.functions.Hashing.xxhash64(s"$dataDir#$variant#$sig"))
     s"/tmp/graft_ann_${variant}_$digest"
   }
 
@@ -215,8 +227,8 @@ object SparkEntry {
       Dedup.simhash(t(s, d, "documents"), "text", "doc_id", k = 3, nbits = 16)),
 
     "q_embed_neardup" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
-        simThresholdPct = 30, nbits = 8)),
+      Dedup.embeddingNearDupPairsAuto(t(s, d, "embeddings"), "vec_id", "embedding",
+        simThresholdPct = 30)),
 
     // ---- similarity search ----
     "q_ann_topk" -> { (s, d) =>
@@ -496,7 +508,14 @@ object SparkEntry {
     },
 
     "q_embed_neardup" ->
-      s"""WITH b AS (SELECT vec_id, embedding AS e, ${duckBucket("embedding", 8)} AS bucket,
+      // nb mirrors Dedup.deriveNbits integer-exactly: smallest nb in [4,12]
+      // with (n >> nb) <= 256, via the bit-length of ceil(n/256) - 1; the
+      // full 12-bit sign bucket masked to nb low bits == the nb-bit bucket
+      s"""WITH nbt AS (SELECT greatest(4, least(12,
+         |    length(format('{:b}', greatest((count(*) + 255) // 256 - 1, 0))))) AS nb
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, embedding AS e,
+         |           (${duckBucket("embedding", 12)} & ((1 << (SELECT nb FROM nbt)) - 1)) AS bucket,
          |           ${duckNorm("embedding")} AS nrm FROM embeddings),
          |u AS (SELECT vec_id, bucket, list_transform(e, x -> x::DOUBLE / nrm) AS u FROM b)
          |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

@@ -34,6 +34,18 @@ import scala.jdk.CollectionConverters._
   * Reference ground truth: the Mercator sieve's bucketed sorted store
   * (`/root/reference/src/clj/ramper/sieve/mercator_sieve.clj:45-142`,
   * `sieve/store.clj:37-78` — same superset-on-crash contract via tmp+rename).
+  *
+  * **Sizing at the 10^10-key north-rule scale**: capacity = numBuckets ×
+  * capacityPerBucket. The defaults (64 × 2^21 ≈ 1.3×10^8, ~4 MB/bucket at
+  * 16-bit fingerprints × 4 slots at 95% load) fit the test crawls; a
+  * 10^10-URL frontier wants `prefilterBuckets ≈ 4096` × `2^21` keys/bucket
+  * (≈ 8.6×10^9 usable at 95% load, ~16 GB of filter files total). Per
+  * EXECUTOR that is tiny: candidates are co-partitioned by the same pmod,
+  * so each of 1000 executors loads ~K/1000 ≈ 4-5 buckets ≈ 20 MB. Past
+  * capacity a bucket flips
+  * `overflowed` and answers "maybe" forever — zero false negatives, only
+  * lost pruning (spec-pinned at 2× capacity) — so under-sizing degrades
+  * throughput, never correctness.
   */
 final class PrefilterStore(val dir: String, val numBuckets: Int,
                            val capacityPerBucket: Long) extends Serializable {
@@ -85,6 +97,9 @@ object PrefilterStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, CuckooFilter)]()
 
+  /** Test hook: drop the per-JVM cache (simulates a fresh executor). */
+  private[graft] def clearCache(): Unit = cache.clear()
+
   private def file(dir: String, b: Int, v: Long): Path =
     Paths.get(dir, s"b${b}_v$v.cf")
 
@@ -97,10 +112,27 @@ object PrefilterStore {
       .groupBy(_._1).map { case (b, vs) => b -> vs.map(_._2).max }
   }
 
+  /** A saturated 1-bucket filter: `mightContain` is always true. Used as the
+    * fail-safe stand-in when a bucket file cannot be read. */
+  private[operators] def alwaysMaybe(): CuckooFilter = {
+    val f = new CuckooFilter(1); f.overflowed = true; f
+  }
+
   private[operators] def load(dir: String, b: Int, v: Long): CuckooFilter = {
     val cached = cache.get((dir, b))
     if (cached != null && cached._1 == v) return cached._2
-    val f = CuckooFilter.fromBytes(Files.readAllBytes(file(dir, b, v)))
+    // fail-safe contract (class doc): an unreadable/missing bucket file
+    // answers "maybe" — the exact anti-join downstream keeps correctness,
+    // the filter only loses pruning for that bucket. Without this a
+    // concurrently-compacted or lost file crashes the task instead of
+    // degrading (ADVICE r2).
+    val f =
+      try CuckooFilter.fromBytes(Files.readAllBytes(file(dir, b, v)))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[prefilter] bucket $b v$v unreadable (${e.getClass.getSimpleName}) — degrading to maybe")
+          alwaysMaybe()
+      }
     cache.put((dir, b), (v, f))
     f
   }
@@ -112,9 +144,18 @@ object PrefilterStore {
                                       hashes: Array[Long]): Unit = {
     val versions = listBucketVersions(dir, b)
     val v0 = if (versions.isEmpty) -1L else versions.max
+    // an unreadable prior version must NOT silently reset the bucket (a
+    // fresh filter missing old keys would answer "definitely new" for seen
+    // URLs — a false negative that breaks once-only). Degrade the bucket to
+    // a permanent "maybe" instead: correct, merely unpruned.
     val filter =
       if (v0 < 0) CuckooFilter.forCapacity(cap)
-      else CuckooFilter.fromBytes(Files.readAllBytes(file(dir, b, v0)))
+      else try CuckooFilter.fromBytes(Files.readAllBytes(file(dir, b, v0)))
+      catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[prefilter] bucket $b v$v0 unreadable on update (${e.getClass.getSimpleName}) — degrading to maybe")
+          alwaysMaybe()
+      }
     var changed = false
     hashes.foreach { h =>
       if (!filter.mightContain(h)) { filter.add(h); changed = true }
@@ -125,7 +166,10 @@ object PrefilterStore {
       Files.write(tmp, CuckooFilter.toBytes(filter))
       Files.move(tmp, file(dir, b, v1), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      versions.foreach(v => Files.deleteIfExists(file(dir, b, v)))
+      // delayed deletion: keep v0 one generation so a predicate that pinned
+      // the previous version map still finds its file (ADVICE r2); only
+      // generations older than v0 are reclaimed here
+      versions.filter(_ < v0).foreach(v => Files.deleteIfExists(file(dir, b, v)))
       cache.put((dir, b), (v1, filter))
     }
   }

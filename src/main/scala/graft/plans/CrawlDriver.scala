@@ -37,6 +37,14 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     java.nio.file.Paths.get(workDir, "prefilter").toString,
     cfg.prefilterBuckets, cfg.prefilterKeysPerBucket)
 
+  /** Frontier rows with their at-rest bucket: pmod(url_hash, K) — the north
+    * rule's explicit partitioning for the frontier table. Anchor snapshots
+    * are written partitioned by this column so compose/resume (and future
+    * eligibility scans) can prune buckets instead of scanning the whole
+    * 10^10-row table. */
+  private def withFrontierBucket(df: DataFrame): DataFrame =
+    df.withColumn("fb", pmod(col("url_hash"), lit(cfg.numBuckets.toLong)))
+
   private def corpusWithIdx(): DataFrame = {
     val corpusDir = io.tablePath("corpus", 0)
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir)))
@@ -69,7 +77,7 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     * monotone — no per-round replay loop needed. */
   private def composeFrontier(round: Int, hostState: DataFrame): DataFrame = {
     val a = io.latestSnapshotRound("frontier", round)
-    val snap = io.readSnapshot("frontier", a)
+    val snap = io.readSnapshot("frontier", a).drop("fb") // at-rest bucket col
     val withAdds = io.readRange("frontier_add", a + 1, round)
       .map(d => snap.unionByName(d.drop("r"))).getOrElse(snap)
     val afterDels = io.readRange("frontier_del", a + 1, round)
@@ -122,7 +130,11 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
         r
       case None =>
         val st = CrawlRound.bootstrap(spark, web, cfg, seedUrls)
-        val cF = io.writeSnapshot("frontier", 0, st.frontier)
+        val cF = {
+          io.writeBucketed("frontier", 0, withFrontierBucket(st.frontier),
+            "fb", cfg.numBuckets)
+          io.countRows("frontier", 0)
+        }
         val cS = io.writeSnapshot("seen", 0, st.seen)
         val cH = io.writeSnapshot("host_state", 0, st.hostState)
         val cI = io.writeSnapshot("ip_state", 0, st.ipState)
@@ -233,7 +245,8 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       val isAnchor = round % reanchorEvery == 0
       val stateWrites: Seq[Future[Unit]] =
         if (isAnchor) Seq(
-          Future(io.write("frontier", round, frontierCk)),
+          Future(io.writeBucketed("frontier", round,
+            withFrontierBucket(frontierCk), "fb", cfg.numBuckets)),
           Future(io.write("host_state", round, res.hostState)),
           Future(io.write("ip_state", round, ipCk)))
         else Seq(

@@ -33,6 +33,18 @@ final class TableIO(val workDir: String, spark: SparkSession) {
   def write(table: String, round: Int, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(tablePath(table, round))
 
+  /** Write a snapshot partitioned by `bucketCol` (one file per bucket via a
+    * pre-shuffle into `buckets` tasks) — the at-rest layout that lets
+    * readers prune buckets: resume/compose of a 10^10-URL frontier, and
+    * eventually the per-round eligibility scan, can then touch only the
+    * buckets they need instead of the whole table (Iceberg would express
+    * this as a bucket partition transform). */
+  def writeBucketed(table: String, round: Int, df: DataFrame,
+                    bucketCol: String, buckets: Int): Unit =
+    df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write.mode("overwrite").partitionBy(bucketCol)
+      .parquet(tablePath(table, round))
+
   /** Row count from parquet footers only (no data scan). */
   def countRows(table: String, round: Int): Long =
     spark.read.parquet(tablePath(table, round)).count()

@@ -141,6 +141,25 @@ class CrawlSpec extends AnyFunSuite {
     assert(fp(straight) == fp(resumed), "resume across compaction broke bit-identity")
   }
 
+  test("anchor frontier snapshots are bucket-partitioned at rest") {
+    val cfgA = cfg.copy(reanchorEvery = 2)
+    val web = new SynthWeb(cfgA)
+    val dir = freshDir()
+    val d = new CrawlDriver(spark, cfgA, dir)
+    d.run(web.seeds(6), maxRounds = 2, maxUrls = Long.MaxValue)
+    // bootstrap (r=0) and the anchor (r=2) write fb=pmod(url_hash, K) dirs
+    for (r <- Seq(0, 2)) {
+      val snap = java.nio.file.Paths.get(dir, "frontier", s"r=$r")
+      val parts = Files.list(snap).iterator()
+      val fbDirs = Iterator.continually(parts).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString).filter(_.startsWith("fb=")).toSeq
+      assert(fbDirs.nonEmpty, s"frontier r=$r not bucket-partitioned")
+      assert(fbDirs.forall(s => s.stripPrefix("fb=").toInt < cfgA.numBuckets))
+    }
+    // the at-rest bucket column never leaks into the logical schema
+    assert(!d.frontier(2).columns.contains("fb"))
+  }
+
   test("error policy: killer classes purge the host, transient classes drop URLs") {
     val cfgB = cfg.copy(brokenHostFraction = 1.0, numHosts = 12, maxRetries = 2)
     val web = new SynthWeb(cfgB)

@@ -50,13 +50,49 @@ class PrefilterStoreSpec extends AnyFunSuite {
     store.addDelta(keys(1000, 2000))
     store.addDelta(keys(500, 1500)) // replay overlap (crash-resume path)
     assert(keys(0, 2000).filter(!store.predicate(spark)).count() == 0)
-    // one live version file per bucket (old versions garbage-collected)
+    // bounded live versions per bucket: the current one plus ONE delayed
+    // predecessor (kept so an already-pinned version map still resolves);
+    // older generations are garbage-collected
     val perBucket = Files.list(Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".cf")).toSeq
       .groupBy(_.takeWhile(_ != '_'))
     perBucket.foreach { case (b, fs) =>
-      assert(fs.size == 1, s"bucket $b has stale versions: $fs")
+      assert(fs.size <= 2, s"bucket $b grew stale versions: $fs")
     }
+  }
+
+  test("overflowed bucket degrades to maybe: zero false negatives at 2x capacity") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("prefilter_ovf")
+    // tiny per-bucket capacity, then insert 2x that many keys per bucket
+    val store = new PrefilterStore(dir, numBuckets = 4, capacityPerBucket = 512)
+    def keys(from: Long, to: Long) =
+      spark.range(from, to).select(xxhash64(col("id")).as("url_hash"))
+    store.addDelta(keys(0, 4L * 512 * 2))
+    // fail-safe contract: past capacity the filter may only LOSE pruning,
+    // never report an inserted key as definitely-new
+    val misses = keys(0, 4L * 512 * 2).filter(!store.predicate(spark)).count()
+    assert(misses == 0, s"$misses false negatives after overflow")
+    // and it really is degraded, not silently dropping inserts: a saturated
+    // bucket answers maybe for everything (no pruning left there)
+    val fpAll = keys(100000, 101000).filter(store.predicate(spark)).count()
+    assert(fpAll > 0)
+  }
+
+  test("missing bucket file answers maybe instead of failing the task") {
+    import spark.implicits._
+    val dir = TestSpark.tempDir("prefilter_miss")
+    val store = new PrefilterStore(dir, numBuckets = 2, capacityPerBucket = 4096)
+    def keys(from: Long, to: Long) =
+      spark.range(from, to).select(xxhash64(col("id")).as("url_hash"))
+    store.addDelta(keys(0, 1000))
+    val pred = store.predicate(spark) // pins current versions
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".cf"))
+      .foreach(Files.delete)
+    graft.operators.PrefilterStore.clearCache() // simulate a fresh executor
+    val n = keys(0, 1000).filter(pred).count()
+    assert(n == 1000, s"deleted bucket files must degrade to maybe, got $n/1000")
   }
 
   test("crawl with prefilter engaged from round 1 equals prefilterless crawl") {
