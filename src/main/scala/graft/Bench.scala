@@ -21,7 +21,12 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions",
         (cores * env("SPARK_GRAFT_BENCH_PARTS_PER_CORE", "2").toInt).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", env("SPARK_GRAFT_BENCH_AQE", "1") == "1")
+      .config("spark.scheduler.mode", env("SPARK_GRAFT_BENCH_SCHED", "FAIR"))
+      .config("spark.scheduler.allocation.file", CrawlDriver.fairPoolsXml)
+      // single-JVM local mode: every block is process-local; any positive
+      // locality wait only delays task launch behind concurrent stages
+      .config("spark.locality.wait", env("SPARK_GRAFT_BENCH_LOCALITY_WAIT", "0s"))
       // crawl stages are CPU-heavy per byte; keep shuffle partitions from
       // being size-coalesced down to 1-2 tasks (see CrawlMain)
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
@@ -220,8 +225,14 @@ object Bench {
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo
           val secs = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3
+          val cpu = si.taskMetrics.executorCpuTime / 1e9
+          val run = si.taskMetrics.executorRunTime / 1e3
+          // callsite line 2 of details names the engine call that built the
+          // stage — the name alone says only "withThreadLocalCaptured" for
+          // every future-launched job
+          val site = si.details.linesIterator.toSeq.drop(1).headOption.getOrElse("").trim
           if (secs > 0.5)
-            System.err.println(f"[c$cores stage ${si.stageId}%4d] $secs%6.2fs tasks=${si.numTasks}%3d ${si.name.take(60)}")
+            System.err.println(f"[c$cores stage ${si.stageId}%4d] $secs%6.2fs cpu=$cpu%6.1f run=$run%6.1f tasks=${si.numTasks}%3d ${si.name.take(40)}%-40s $site")
         }
         // job-level timeline: windows where NO job is running = driver-side
         // serial remainder (planning, Await joins, commit bookkeeping)
@@ -345,7 +356,7 @@ object Bench {
   }
 
   private def runCrawlPhase(results: Seq[(String, Double)], sfDir: String): Unit = {
-    val crawlRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val crawlRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val errors = results.filter(_._2 < 0).map(_._1)
 
     // part 2: crawl throughput at two parallelism levels — N and 4N cores.
@@ -373,7 +384,11 @@ object Bench {
     // agreement alone must not stop the sampling. The recorded result is
     // still plain min-wall over every trial that ran; the detector only
     // decides whether spending another trial is likely to reveal capability.
-    val cpuQuietRatio = env("SPARK_GRAFT_BENCH_CPU_QUIET_RATIO", "1.45").toDouble
+    // 1.35, tightened from r2's 1.45: the r3 attempt-1 record stopped hi
+    // sampling at ratio 1.386 while hi CPU was visibly interference-inflated
+    // (+14% over the quiet reference) — a quiet window measures ~1.25-1.30,
+    // so 1.35 still stops immediately when genuinely quiet.
+    val cpuQuietRatio = env("SPARK_GRAFT_BENCH_CPU_QUIET_RATIO", "1.35").toDouble
     def best(cores: Int, minTrials: Int, maxTrials: Int,
              seed: Seq[LevelRun] = Nil,
              quietCpuCeil: Double = Double.MaxValue): (LevelRun, Seq[LevelRun]) = {
@@ -406,15 +421,15 @@ object Bench {
         (Seq(bLo0, retry).minBy(_.sec), runsLo0 :+ retry)
       } else (bLo0, runsLo0)
     // Two estimators, both recorded (all samples in the JSON):
-    //  - trial: min-wall over whole steady-state trials (conservative)
-    //  - round: min-wall at ROUND granularity — headline. Co-tenant
-    //    interference here oscillates on ~2-min periods (probe-measured
-    //    1.3s -> 7.5s -> 1.7s within 5 min for a fixed memcpy workload), so
-    //    a multi-round trial almost never lands wholly quiet while a single
-    //    round often does; interference is strictly additive, making the
-    //    fastest ROUND the least-biased estimate of true per-round cost.
-    //    Identical work per round at both levels (same dequeues, bit-equal
-    //    outputs), so the ratio is well-defined.
+    //  - trial (HEADLINE, round 3 onward): steady-state urls over the sum of
+    //    steady round walls INCLUDING the final commit drain — with the
+    //    pipelined commit lane, every write is inside the window, so this is
+    //    the SUSTAINED rate (a round-granularity estimate could ride a
+    //    transient commit backlog at the level where commits are the
+    //    bottleneck). Min-wall across trials still filters co-tenant noise
+    //    (interference is strictly additive).
+    //  - round: min-wall at ROUND granularity — the pipelined-burst
+    //    capability (kept as telemetry; flattering where commits bind).
     val upsLo = bLo.urls / bLo.sec
     val upsHi = bHi.urls / bHi.sec
     val effTrial = (upsHi / upsLo) / (hiCores.toDouble / loCores)
@@ -431,6 +446,6 @@ object Bench {
       rs.map(_.rounds.map(r => f"${r._2}%.2f").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":${bLo.urls},"sec_lo":${bLo.sec}%.2f,"ups_lo":$upsLo%.1f,"ups_lo_round":$upsLoR%.1f,"cores_lo":$loCores,"cpu_lo":${bLo.cpu}%.1f,"sec_lo_trials":$tLo,"sec_lo_rounds":${roundsJson(runsLo)},"urls_hi":${bHi.urls},"sec_hi":${bHi.sec}%.2f,"ups_hi":$upsHi%.1f,"ups_hi_round":$upsHiR%.1f,"cores_hi":$hiCores,"cpu_hi":${bHi.cpu}%.1f,"sec_hi_trials":$tHi,"sec_hi_rounds":${roundsJson(runsHi)},"scaling_efficiency":$effRound%.3f,"scaling_efficiency_trial":$effTrial%.3f}}""")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":${bLo.urls},"sec_lo":${bLo.sec}%.2f,"ups_lo":$upsLo%.1f,"ups_lo_round":$upsLoR%.1f,"cores_lo":$loCores,"cpu_lo":${bLo.cpu}%.1f,"sec_lo_trials":$tLo,"sec_lo_rounds":${roundsJson(runsLo)},"urls_hi":${bHi.urls},"sec_hi":${bHi.sec}%.2f,"ups_hi":$upsHi%.1f,"ups_hi_round":$upsHiR%.1f,"cores_hi":$hiCores,"cpu_hi":${bHi.cpu}%.1f,"sec_hi_trials":$tHi,"sec_hi_rounds":${roundsJson(runsHi)},"scaling_efficiency":$effTrial%.3f,"scaling_efficiency_round":$effRound%.3f}}""")
   }
 }

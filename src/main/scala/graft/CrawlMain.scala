@@ -35,6 +35,11 @@ object CrawlMain {
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // two-lane FAIR scheduling (critical path vs commit lane — see
+      // CrawlDriver.inPool); without the pool file unknown pools degrade to
+      // defaults, and under FIFO the tags are inert
+      .config("spark.scheduler.mode", sys.env.getOrElse("SPARK_GRAFT_SCHED", "FAIR"))
+      .config("spark.scheduler.allocation.file", graft.plans.CrawlDriver.fairPoolsXml)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) {

@@ -48,6 +48,19 @@ object Fetch {
   /** Deterministic order for hashing an error class onto a broken host. */
   val errorClasses: IndexedSeq[String] = errorPolicies.keys.toIndexedSeq.sorted
 
+  /** Per-executor memo of ground-truth pixel fields for the verify UDF,
+    * keyed by the (already-mixed) synthesis seed. The source-image space is
+    * bounded (one entry per distinct corpus SOURCE, dims included via the
+    * seed→dims determinism), so the cache is small; entries beyond the cap
+    * fall through to direct synthesis — identical values either way. */
+  private val expectedPxCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Int]]()
+  private def expectedPixels(mixedSeed: Long, w: Int, h: Int): Array[Int] =
+    if (expectedPxCache.size >= 16384)
+      graft.functions.Images.synthPixels(mixedSeed, w, h)
+    else expectedPxCache.computeIfAbsent(mixedSeed,
+      k => graft.functions.Images.synthPixels(k, w, h))
+
   /** Catalyst lookup columns over an error-class string column — the policy
     * table as `when` chains (codegen'd; no join, no UDF). */
   def policyWait(err: Column): Column =
@@ -63,19 +76,21 @@ object Fetch {
       when(err === k, lit(p.killer)).otherwise(acc)
     }
 
-  /** @param dequeued scheduler output: frontier cols + (ip, bucket, broken, crawl_delay_ms)
-    * @param corpusWithIdx corpus table + `corpus_idx` long column
+  /** The request/response exchange WITHOUT the payload join: status, error
+    * class, session-cookie round trip, logical fetch time, the (HTML) page
+    * body when the extractor consumes it, and the corpus `pick` key.
+    * This is the narrow row the round's critical path checkpoints — image
+    * payloads attach later ([[attachPayload]]) inside the asynchronous pages
+    * write, so megabytes per row never ride the critical path.
+    *
     * @param serveHtml when true the server also returns the page's HTML
     *        rendering as a `page_bytes` payload column (status 200 only) —
     *        the link stage then parses the ACTUAL fetched bytes, matching the
     *        reference's parse-what-you-fetched contract
-    *        (`workers/parsing_thread.clj:37-74`). False keeps the column
-    *        null and the synthetic-graph fast path ships no page bytes.
-    * @return dequeued cols + (status, error, fetch_ts, page_bytes, image
-    *         payload cols; payloads null unless status=200)
+    *        (`workers/parsing_thread.clj:37-74`).
     */
-  def run(dequeued: DataFrame, corpusWithIdx: DataFrame, web: graft.sources.SynthWeb,
-          cfg: CrawlConfig, roundTs: Long, serveHtml: Boolean = false): DataFrame = {
+  def attempt(dequeued: DataFrame, web: graft.sources.SynthWeb,
+              cfg: CrawlConfig, roundTs: Long, serveHtml: Boolean): DataFrame = {
     val status = when(col("broken"), lit(-1))
       .otherwise(when(pmod(xxhash64(col("url_hash")), lit(50)) === 0, lit(404))
         .otherwise(lit(200)))
@@ -89,7 +104,7 @@ object Fetch {
     // header deterministically changes the response, like a real session
     val sentSid = element_at(col("cookies"), "sid")
     val expectedSid = hex(xxhash64(col("host")))
-    val attempted = dequeued
+    dequeued
       .withColumn("status", status)
       .withColumn("error",
         when(col("status") === -1, errClassUdf(col("host"))).otherwise(lit(null).cast("string")))
@@ -108,20 +123,42 @@ object Fetch {
       .withColumn("pick",
         when(col("status") === 200, pmod(col("url_hash"), lit(cfg.corpusSize.toLong)))
           .otherwise(lit(null).cast("long")))
-    // shuffle-hash join, not broadcast: the corpus carries image bytes, and
-    // a per-round driver-side broadcast build of megabytes of payload is a
-    // serial cost that caps scaling — while the shuffle is fully parallel
-    // and is the only plan that survives a 100 TB corpus anyway
-    val joined = attempted
-      .join(corpusWithIdx.hint("shuffle_hash"),
-        attempted("pick") === corpusWithIdx("corpus_idx"), "left")
-      .drop("pick", "corpus_idx")
-    // per-row payload verification (input_hint): decode the fetched bytes and
-    // check decoded-pixel PSNR >= 40 dB for jpeg / exact pixels for png,
-    // plus exact caption equality, against the deterministic ground truth.
-    // Sampled 1-in-verifySample by url_hash (verifySample=1 => exhaustive,
-    // used by the tests; large crawls sample to keep decode off the critical
-    // path without losing the invariant).
+  }
+
+  /** Scale-adaptive corpus side: a bench/test-sized corpus broadcasts (the
+    * fetched side then keeps its politeness-bucket partitioning end-to-end —
+    * no per-round exchange by `pick`); a 100 TB corpus degrades to the
+    * shuffle-hash join, whose exchange is fully parallel. */
+  private def corpusSide(corpusWithIdx: DataFrame, broadcastCorpus: Boolean,
+                         cols: Column*): DataFrame = {
+    val narrowed = corpusWithIdx.select(cols: _*)
+    if (broadcastCorpus) broadcast(narrowed) else narrowed.hint("shuffle_hash")
+  }
+
+  /** Attach ONLY the content phash of each 200-row's payload (the narrow
+    * corpus projection) — what the round's in-flight dedupe needs. */
+  def attachPhash(attempted: DataFrame, corpusWithIdx: DataFrame,
+                  broadcastCorpus: Boolean): DataFrame = {
+    val c = corpusSide(corpusWithIdx, broadcastCorpus, col("corpus_idx"), col("phash"))
+    attempted.join(c, attempted("pick") === c("corpus_idx"), "left")
+      .drop("corpus_idx")
+  }
+
+  /** Attach the full image payload + per-row decode verification to 200-rows
+    * (input_hint): decode the fetched bytes and check decoded-pixel PSNR >=
+    * 40 dB for jpeg / exact pixels for png, plus exact caption equality,
+    * against the deterministic ground truth. Sampled 1-in-verifySample by
+    * url_hash (verifySample=1 => exhaustive — the tests and the bench run it
+    * on every row). Runs inside the asynchronous pages-write lane: the
+    * manifest still commits only after it completes, so the verification
+    * contract is unchanged — it just overlaps the next round's compute. */
+  def attachPayload(okRows: DataFrame, corpusWithIdx: DataFrame,
+                    cfg: CrawlConfig, broadcastCorpus: Boolean): DataFrame = {
+    val c = corpusSide(corpusWithIdx, broadcastCorpus, col("corpus_idx"),
+      col("image_id"), col("bytes"), col("w"), col("h"), col("fmt"), col("caption"))
+    val joined = okRows
+      .join(c, okRows("pick") === c("corpus_idx"), "left")
+      .drop("corpus_idx")
     val seed = cfg.seed
     val verifyUdf = udf { (imageId: String, bytes: Array[Byte], fmt: String,
                            w: Int, h: Int, caption: String) =>
@@ -129,7 +166,10 @@ object Fetch {
       val idx = imageId.stripPrefix("img").toLong
       var src = idx
       while (src >= 97 && src % 97 == 0) src -= 97
-      val expected = Images.synthPixels(Hashing.splitmix64(seed ^ (src * 0x9E37L)), w, h)
+      // the DECODE of the fetched bytes is per-row and never cached (it is
+      // the verification's object); the ground-truth synthesis is a pure
+      // function of the bounded source-image space, memoized per executor
+      val expected = expectedPixels(Hashing.splitmix64(seed ^ (src * 0x9E37L)), w, h)
       val (px, dw, dh) = Images.decode(bytes)
       val pixelsOk =
         if (fmt == "png") dw == w && dh == h && px.sameElements(expected)
@@ -140,5 +180,26 @@ object Fetch {
       when(col("status") === 200 && pmod(col("url_hash"), lit(cfg.verifySample.toLong)) === 0,
         verifyUdf(col("image_id"), col("bytes"), col("fmt"), col("w"), col("h"), col("caption")))
         .otherwise(lit(null).cast("boolean")))
+  }
+
+  /** Full fetch in one call (attempt + phash + payload + verify) — the
+    * single-shot form used by tests and ad-hoc pipelines; the crawl round
+    * splits the same pieces across its critical path and its async lane. */
+  def run(dequeued: DataFrame, corpusWithIdx: DataFrame, web: graft.sources.SynthWeb,
+          cfg: CrawlConfig, roundTs: Long, serveHtml: Boolean = false,
+          broadcastCorpus: Boolean = false): DataFrame = {
+    val meta = attachPhash(
+      attempt(dequeued, web, cfg, roundTs, serveHtml), corpusWithIdx, broadcastCorpus)
+    val ok = attachPayload(meta.filter(col("status") === 200),
+      corpusWithIdx, cfg, broadcastCorpus)
+    val nonOk = meta.filter(col("status") =!= 200)
+      .withColumn("image_id", lit(null).cast("string"))
+      .withColumn("bytes", lit(null).cast("binary"))
+      .withColumn("w", lit(null).cast("int"))
+      .withColumn("h", lit(null).cast("int"))
+      .withColumn("fmt", lit(null).cast("string"))
+      .withColumn("caption", lit(null).cast("string"))
+      .withColumn("verify_ok", lit(null).cast("boolean"))
+    ok.unionByName(nonOk).drop("pick")
   }
 }

@@ -32,14 +32,22 @@ trait LinkExtractor extends Serializable {
 }
 
 /** Fast path for the synthetic graph: out-links are a pure function of the
-  * URL (≙ BUbiNG's graph-server protocol, reference README.md:36-41). */
+  * URL (≙ BUbiNG's graph-server protocol, reference README.md:36-41).
+  *
+  * `resolveTarget` is the identity: [[SynthWeb.url]] emits URLs that are
+  * already in canonical form (lowercase registered host, no default port,
+  * no dot-segments, nothing percent-encodable), so re-running the full
+  * canonicalizer over ~12M targets/round was pure overhead. The invariant
+  * `canonicalize(url) == url` is pinned by UrlNormSpec, and the end-to-end
+  * equivalence test against [[HtmlPageExtractor]] (whose links DO go through
+  * resolution) would catch any drift. */
 final class SyntheticLinkExtractor(web: SynthWeb) extends LinkExtractor {
   override def rawTargets(url: String, body: Array[Byte]): Seq[String] =
     web.links(url)
   override def resolveTarget(base: String, raw: String): Option[String] =
-    graft.functions.UrlNorm.resolve(base, raw)
+    Some(raw)
   def links(url: String, body: Array[Byte]): Seq[String] =
-    rawTargets(url, body).flatMap(resolveTarget(url, _))
+    rawTargets(url, body)
 }
 
 /** Real-content path: the server serves each page's HTML rendering as the

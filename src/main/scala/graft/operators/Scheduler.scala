@@ -65,7 +65,8 @@ object Scheduler {
     * @return frontier columns + (ip, bucket, crawl_delay_ms) of the chosen rows
     */
   def dequeue(frontier: DataFrame, hostState: DataFrame, ipState: DataFrame,
-              roundTs: Long, cfg: CrawlConfig, frontSize: Long = 1L): DataFrame = {
+              roundTs: Long, cfg: CrawlConfig, frontSize: Long = 1L,
+              broadcastDims: Boolean = false): DataFrame = {
     // P6 — the path-query-limit feeds the per-host refill cutoff (≙ the
     // refill bound of workbench.clj:209-223): the delay term is per-host
     // (robots crawl-delay differs by host), the memory term is a scalar of
@@ -101,10 +102,13 @@ object Scheduler {
       .filter(col("host_rn") === 1)
       .drop("host_rn", "host_next_fetch")
     // keepalive batch: first min(b, path-query-limit) queued URLs of each
-    // chosen host, FIFO (P5 + P6)
+    // chosen host, FIFO (P5 + P6). chosenHosts is at most one row per IP —
+    // broadcast it while the host dimension is broadcast-small, so the
+    // (large) frontier flows straight into the FIFO window's exchange
+    // instead of being exchanged once for the join and once for the window.
     val fifo = Window.partitionBy(col("host")).orderBy(col("seq_no"))
     frontier
-      .join(chosenHosts, Seq("host"))
+      .join(if (broadcastDims) broadcast(chosenHosts) else chosenHosts, Seq("host"))
       .withColumn("rn", row_number().over(fifo))
       .filter(col("rn") <= perHostLimit)
       .drop("rn")

@@ -49,26 +49,30 @@ object CrawlRound {
     * (≙ workers/dns_resolving.clj:26-68) + a robots.txt fetch run through the
     * REAL parser ([[Robots.parse]] ≙ util/robots.clj:16-56) — the production
     * code path parses robots text, it does not shortcut to structured rules. */
+  /** One freshly discovered host's initial state — pure in (host, config). */
+  private def hostStateFor(h: String, web: SynthWeb, cfg: CrawlConfig,
+                           roundTs: Long): HostState = {
+    val r = Robots.parse(web.robotsTxt(h))
+    HostState(
+      host = h,
+      ip = web.resolveIp(h),
+      resolved_at = roundTs,
+      bucket = Hashing.pmod(Hashing.xxhash64(h), cfg.numBuckets.toLong).toInt,
+      broken = web.isBrokenHost(web.hostIndex(h)),
+      next_fetch = 0L,
+      crawl_delay_ms = r.crawlDelaySec.map(_ * 1000L).getOrElse(cfg.hostDelayMs),
+      disallow = r.disallow,
+      retries = 0,
+      last_error = "",
+      status = "live",
+      enqueued_count = 0L,
+      cookies = Map.empty)
+  }
+
   private def discoverHosts(spark: SparkSession, hosts: DataFrame,
                             web: SynthWeb, cfg: CrawlConfig, roundTs: Long): DataFrame = {
     import spark.implicits._
-    hosts.select("host").as[String].map { h =>
-      val r = Robots.parse(web.robotsTxt(h))
-      HostState(
-        host = h,
-        ip = web.resolveIp(h),
-        resolved_at = roundTs,
-        bucket = Hashing.pmod(Hashing.xxhash64(h), cfg.numBuckets.toLong).toInt,
-        broken = web.isBrokenHost(web.hostIndex(h)),
-        next_fetch = 0L,
-        crawl_delay_ms = r.crawlDelaySec.map(_ * 1000L).getOrElse(cfg.hostDelayMs),
-        disallow = r.disallow,
-        retries = 0,
-        last_error = "",
-        status = "live",
-        enqueued_count = 0L,
-        cookies = Map.empty)
-    }.toDF()
+    hosts.select("host").as[String].map(h => hostStateFor(h, web, cfg, roundTs)).toDF()
   }
 
   /** Merge one Set-Cookie header into the host's jar, then truncate to the
@@ -125,24 +129,56 @@ object CrawlRound {
     CrawlState(frontier, seen, hostState, ipState, phashSeen)
   }
 
+  /** @param knownHosts the committed host count from the driver's manifest
+    *        (0 = unknown): lets the round pick broadcast vs shuffle joins
+    *        for the host dimension WITHOUT an extra count action — the same
+    *        decision AQE would make from runtime stats, taken one stage
+    *        earlier. */
+  /** Driver-blocking phase telemetry (SPARK_GRAFT_PROFILE=1): how long each
+    * materialization barrier holds the round's critical path — the direct
+    * measurement of the per-round serial remainder that caps scaling. */
+  private val profilePhases = sys.env.contains("SPARK_GRAFT_PROFILE")
+
   def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
           web: SynthWeb, cfg: CrawlConfig, roundIdx: Int,
           expectedSeen: Long, frontSize: Long = 1L,
           extractor: operators.LinkExtractor = null,
-          prefilter: Option[org.apache.spark.sql.Column] = None): RoundResult = {
+          prefilter: Option[org.apache.spark.sql.Column] = None,
+          knownHosts: Long = 0L): RoundResult = {
     val ex = Option(extractor).getOrElse(new operators.SyntheticLinkExtractor(web))
+    val t0 = System.nanoTime()
+    var tPrev = t0
+    def phase(name: String): Unit = if (profilePhases) {
+      val now = System.nanoTime()
+      System.err.println(f"[round $roundIdx phase] $name%-10s +${(now - tPrev) / 1e9}%6.2fs @${(now - t0) / 1e9}%6.2fs")
+      tPrev = now
+    }
     val ts = roundIdx.toLong * cfg.roundTickMs
+    // ~1M hosts x ~100 B/row ≈ 100 MB broadcast — the upper edge of a sane
+    // map-side dimension; beyond that the parallel shuffle wins
+    val dimsBroadcastable = knownHosts > 0L && knownHosts < 1000000L
 
     // ---- dequeue (P1-P6) + fetch (G1-G4) ----
     val dequeued = Scheduler
-      .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg, frontSize)
+      .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg, frontSize,
+        broadcastDims = dimsBroadcastable)
       .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
     // eager localCheckpoint (not cache): truncates the logical plan so the
     // driver does not re-analyze the whole round DAG on every downstream
     // action — with ~13 actions/round the repeated Catalyst passes were the
     // dominant serial cost, dwarfing actual task time
-    val fetched = Fetch.run(dequeued, corpusWithIdx, web, cfg, ts,
-      serveHtml = ex.needsBody).localCheckpoint()
+    // ~16k corpus rows x a few KB of image payload stays well under a 100 MB
+    // broadcast; larger corpora (the 100 TB target) use the shuffle join
+    val bCorpus = cfg.corpusSize <= 16384
+    // the critical path checkpoints only the NARROW fetch outcome (status,
+    // error, cookie, pick, content phash — ~100 B/row); the image payload
+    // and its decode verification attach inside the asynchronous pages
+    // write, so megabytes per row never ride (or occupy checkpoint memory
+    // on) the round's critical path
+    val fetched = Fetch.attachPhash(
+      Fetch.attempt(dequeued, web, cfg, ts, serveHtml = ex.needsBody),
+      corpusWithIdx, bCorpus).localCheckpoint()
+    phase("fetch")
 
     // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
     // membership"): duplicate = same phash earlier in this round (window
@@ -152,11 +188,7 @@ object CrawlRound {
     // per-partition lineage): it names the deterministic politeness/fetch
     // partition that produced the row — unlike spark_partition_id it is
     // stable across parallelism levels, so resume bit-identity includes it
-    val pagesRaw = fetched.filter(col("status") === 200).select(
-      col("url"), col("url_hash"), col("host"), col("bucket"),
-      lit(roundIdx).as("round"),
-      col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
-      col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
+    val okMeta = fetched.filter(col("status") === 200)
     // dup flags computed on a NARROW projection (never shuffle image bytes
     // through the phash window), checkpointed once, then joined back — the
     // pages and phash_seen writes both reuse the flags without recompute
@@ -167,7 +199,7 @@ object CrawlRound {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val phFlagsF = Future(pagesRaw.select("url_hash", "phash")
+    val phFlagsF = Future(okMeta.select("url_hash", "phash")
       .withColumn("phash_rn", row_number().over(phashW))
       .join(state.phashSeen.select(col("phash")).distinct()
         .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
@@ -189,6 +221,10 @@ object CrawlRound {
     // overflow the set reports keys as new (pass-through): the exact
     // url_hash dedup downstream is unchanged, so this stage only ever
     // REMOVES bytes from the shuffle, never rows from the result.
+    // The emitted row is exactly (url, url_hash): host/path_query are
+    // DERIVED AFTER the sieve, so the round's biggest shuffle (the link
+    // dedup) carries ~half the bytes, and URL parsing runs only on the
+    // new-once-ever survivors instead of every extracted link.
     val bodyCol = if (ex.needsBody) col("page_bytes") else lit(null).cast("binary")
     val rawLinks = {
       import spark.implicits._
@@ -203,54 +239,89 @@ object CrawlRound {
             ex.rawTargets(base, body).iterator.flatMap { raw =>
               ex.resolveTarget(base, raw).flatMap { u =>
                 val h64 = Hashing.xxhash64(u) // bit-equal to Catalyst xxhash64
-                if (!emitted.add(h64)) None
-                else {
-                  val (h, pq) = UrlNorm.splitCanonical(u)
-                  Some((u, h, pq, h64))
-                }
+                if (!emitted.add(h64)) None else Some((u, h64))
               }
             }
           }
         }
-        .toDF("url", "host", "path_query", "url_hash")
+        .toDF("url", "url_hash")
     }
-    // checkpoint: the UDF-canonicalize + dedupe chain over ~degree×pages
-    // links is the most expensive stage of a round — without this both the
-    // host-discovery job and the sieve job recompute it from scratch
+    // checkpoint: the extract + dedupe chain over ~degree×pages links is the
+    // most expensive stage of a round — without this both the sieve job and
+    // the metrics job recompute it from scratch
     val batch = SeenSet.dedupeBatch(rawLinks).localCheckpoint()
+    phase("links")
     val phFlags = Await.result(phFlagsF, Duration.Inf)
+    phase("phflags")
+    // pages delta: payload + decode-verify attach lazily — materialized by
+    // the asynchronous pages write, gated (like every write) by the round's
+    // manifest commit, overlapping the next round's compute
+    val pagesRaw = Fetch.attachPayload(okMeta, corpusWithIdx, cfg, bCorpus).select(
+      col("url"), col("url_hash"), col("host"), col("bucket"),
+      lit(roundIdx).as("round"),
+      col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
+      col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
     val pagesDelta = pagesRaw.join(phFlags, Seq("url_hash")) // AQE broadcasts the flags
-    val phashSeenDelta = pagesRaw.select("url_hash", "phash")
+    val phashSeenDelta = okMeta.select("url_hash", "phash")
       .join(phFlags, Seq("url_hash"))
       .filter(!col("phash_dup")).select(col("phash")).distinct()
 
-    // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
-    val newHostNames = batch.select("host").distinct()
-      .join(state.hostState.select("host"), Seq("host"), "left_anti")
-    val newHosts = discoverHosts(spark, newHostNames, web, cfg, ts).localCheckpoint()
+    // ---- the sieve FIRST: once and once only (D1-D5). The anti-join runs
+    // directly on the dedup output — both sides key on url_hash, so it
+    // REUSES the dedup's partitioning with zero extra exchange, and it runs
+    // on the narrow (url, url_hash) rows before any parsing. The partitioned
+    // cuckoo pre-filter (when the driver supplies it) lets definite-new
+    // links skip the exact anti-join shuffle; correctness never depends on
+    // it. Sieve-vs-robots order is semantics-free (both are filters; seen
+    // only ever records ADMITTED rows), so sieving first is pure savings:
+    // every downstream stage touches only new-once-ever candidates.
+    val fresh0 = SeenSet.sieve(batch, state.seen, prefilter)
+    // canonical-URL split on the survivors only (X2): host + path_query.
+    // Checkpointed ONCE — host discovery, admission, and the cap windows all
+    // consume it, and without the cut each would re-run the sieve anti-join.
+    val splitUdf = udf { (u: String) => UrlNorm.splitCanonical(u) }
+    val parsed = fresh0.withColumn("__hp", splitUdf(col("url")))
+      .select(col("url"), col("url_hash"),
+        col("__hp._1").as("host"), col("__hp._2").as("path_query"))
+      .localCheckpoint()
+    phase("sieve")
 
-    // ---- admission: robots filter (X6, broadcast) then the sieve, THEN the
-    // per-host cap + FIFO seq in ONE window pass (X4, F1, D1-D5).
-    // Shuffle discipline: dedupeBatch partitions by url_hash; the exact
-    // anti-join reuses that partitioning (no extra shuffle); the robots
-    // filter is a broadcast join (no shuffle); cap_rn and seq_no share one
+    // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
+    val newHostNames = parsed.select("host").distinct()
+      .join(state.hostState.select("host"), Seq("host"), "left_anti")
+    // at steady state a round discovers FEW (often zero) new hosts while
+    // every downstream consumer of `newHosts` pays a job for it — so while
+    // the host dimension is small, collect the names and discover
+    // driver-side into a LocalRelation (embedded free in all consumers, and
+    // the hostDims broadcast build becomes trivial). The distributed path
+    // remains for web-scale host spaces.
+    val newHosts =
+      if (dimsBroadcastable) {
+        import spark.implicits._
+        val names = newHostNames.select("host").as[String].collect().sorted
+        spark.createDataset(names.toSeq.map(h => hostStateFor(h, web, cfg, ts))).toDF()
+      } else discoverHosts(spark, newHostNames, web, cfg, ts).localCheckpoint()
+    phase("hosts")
+
+    // ---- admission: robots + live filter (X6), THEN the per-host cap +
+    // FIFO seq in ONE window pass (X4, F1). cap_rn and seq_no share one
     // host-window (one shuffle). Capping after the sieve also makes
     // enqueued_count count actual frontier additions, matching the
     // distributor's intent (distributor.clj:41-47).
     val hostDims = state.hostState.select("host", "status", "disallow", "enqueued_count")
       .unionByName(newHosts.select("host", "status", "disallow", "enqueued_count"))
-    // shuffle-hash, not broadcast: at web scale the host dimension is 10^8+
-    // rows, and even here the per-round driver-side broadcast build is
-    // serial time the shuffle avoids
-    val admissible = batch
-      .join(hostDims.hint("shuffle_hash"), Seq("host"))
+    // scale-adaptive join: while the host dimension is broadcast-small the
+    // candidate set stays in its url_hash partitioning (NO exchange on the
+    // big side — the single biggest per-round shuffle saving); at web scale
+    // (10^8+ hosts) the same plan degrades to a shuffle-hash join, whose
+    // exchange is fully parallel while a driver-side broadcast build would
+    // be serial. The cut is the driver's committed host count — the same
+    // decision AQE makes from runtime stats, one stage earlier.
+    val dimsSide = if (dimsBroadcastable) broadcast(hostDims) else hostDims.hint("shuffle_hash")
+    val fresh = parsed
+      .join(dimsSide, Seq("host"))
       .filter(col("status") === "live")
       .filter(expr("not exists(disallow, d -> startswith(path_query, d))"))
-
-    // the sieve: once and once only. The partitioned cuckoo pre-filter (when
-    // the driver supplies it) lets definite-new links skip the exact
-    // anti-join shuffle; correctness never depends on it.
-    val fresh = SeenSet.sieve(admissible, state.seen, prefilter)
 
     // per-host cap + FIFO seq_no. Hot-host skew defusal (north rule): a Zipf
     // web can point millions of links at one host, which would make the
@@ -276,6 +347,7 @@ object CrawlRound {
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
         lit(0).as("priority"), lit(roundIdx).as("round_added"))
       .localCheckpoint()
+    phase("admit")
 
     // ---- host state update (P3, P4, G2, F6, N2, N3) ----
     // ordered aggregates, never first(): first() after a groupBy is
@@ -292,10 +364,16 @@ object CrawlRound {
         when(col("set_cookie").isNotNull, col("url_hash"))).as("cookie_hdr"))
     val newEnq = newRows.groupBy(col("host")).agg(count(lit(1)).as("new_cnt"))
 
+    // both outcome aggregates have at most one row per ACTIVE host — far
+    // below the host dimension itself — so broadcast them under the same
+    // cut, keeping the host-state update exchange-free at bench scale
+    val (outcomeSide, enqSide) =
+      if (dimsBroadcastable) (broadcast(hostOutcome), broadcast(newEnq))
+      else (hostOutcome, newEnq)
     val allHosts = state.hostState.withColumn("__new", lit(false))
       .unionByName(newHosts.withColumn("__new", lit(true)))
-      .join(hostOutcome, Seq("host"), "left")
-      .join(newEnq, Seq("host"), "left")
+      .join(outcomeSide, Seq("host"), "left")
+      .join(enqSide, Seq("host"), "left")
     val hadErr = coalesce(col("err_cnt"), lit(0L)) > 0
     val hadOk = coalesce(col("ok_cnt"), lit(0L)) > 0
     // full per-error-class policy (G2 ≙ constants.clj:6-43 applied at
@@ -351,6 +429,7 @@ object CrawlRound {
         (col("__new") || hadOk || hadErr || col("new_cnt").isNotNull || staleDns)
           .as("__changed"))
       .localCheckpoint()
+    phase("hoststate")
     val hostStateNew = hostStateFull.drop("__dropped", "__changed")
     val hostDelta = hostStateFull.filter(col("__changed")).drop("__dropped", "__changed")
 
@@ -377,9 +456,20 @@ object CrawlRound {
       .unionByName(fetched.filter(col("status") === -1)
         .join(dropHosts, Seq("host"), "left_semi").select("url_hash"))
     val deadHosts = hostStateNew.filter(col("status") === "dead").select("host")
+    // broadcast the DELTAS, never exchange the table: `consumed` is bounded
+    // by the round's dequeue budget (hosts x keepalive — 8-byte keys), so
+    // while that budget is broadcast-sized the O(frontier) anti-joins run
+    // with ZERO exchange of the frontier itself. At a 10^10-URL frontier
+    // this is the difference between shuffling 10^10 rows per round and
+    // shipping an ~O(10^7)-key delta to every executor; past the budget cut
+    // the same plan degrades to the shuffled anti-join.
+    val deltasBroadcastable =
+      knownHosts > 0L && knownHosts * math.max(cfg.keepAliveBatch, 1) <= 8000000L
+    val consumedSide = if (deltasBroadcastable) broadcast(consumed) else consumed
+    val deadSide = if (deltasBroadcastable) broadcast(deadHosts) else deadHosts
     val frontierNew = state.frontier
-      .join(consumed, Seq("url_hash"), "left_anti")
-      .join(deadHosts, Seq("host"), "left_anti")
+      .join(consumedSide, Seq("url_hash"), "left_anti")
+      .join(deadSide, Seq("host"), "left_anti")
       .unionByName(newRows)
 
     val seenDelta = newRows.select(col("url_hash"), col("url"))

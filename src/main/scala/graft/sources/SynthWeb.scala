@@ -18,7 +18,14 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 final class SynthWeb(cfg: CrawlConfig) extends Serializable {
 
-  def hostName(i: Int): String = f"host-$i%06d.test"
+  // memoized: the link stage renders ~12M URLs per bench round and
+  // String.format dominated its profile; one small immutable array per
+  // executor replaces it (pure function of the index)
+  @transient private lazy val hostNames: Array[String] =
+    Array.tabulate(cfg.numHosts)(i => f"host-$i%06d.test")
+
+  def hostName(i: Int): String =
+    if (i >= 0 && i < cfg.numHosts) hostNames(i) else f"host-$i%06d.test"
 
   /** Total: non-synthetic hostnames (a real seed file mixed in) map
     * deterministically into the host space by hash instead of crashing the

@@ -30,8 +30,14 @@ final class TableIO(val workDir: String, spark: SparkSession) {
   def tablePath(table: String, round: Int): String =
     root.resolve(table).resolve(s"r=$round").toString
 
-  def write(table: String, round: Int, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(tablePath(table, round))
+  def write(table: String, round: Int, df: DataFrame): Unit = {
+    // the pages table is dominated by the image `bytes` column — already
+    // PNG/JPEG-compressed, so codec compression burns CPU for ~0 ratio;
+    // store it uncompressed (the narrow tables keep the default codec)
+    val w = df.write.mode("overwrite")
+    val w2 = if (table == "pages") w.option("compression", "none") else w
+    w2.parquet(tablePath(table, round))
+  }
 
   /** Write a snapshot partitioned by `bucketCol` (one file per bucket via a
     * pre-shuffle into `buckets` tasks) — the at-rest layout that lets

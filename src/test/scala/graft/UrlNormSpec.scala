@@ -26,6 +26,19 @@ class UrlNormSpec extends AnyFunSuite {
     }
   }
 
+  test("SynthWeb.url output is already canonical (SyntheticLinkExtractor invariant)") {
+    // SyntheticLinkExtractor.resolveTarget is the identity BECAUSE the
+    // synthetic graph emits canonical URLs; this pins that invariant.
+    val web = new graft.sources.SynthWeb(CrawlConfig(numHosts = 50, pagesPerHost = 64))
+    for (i <- 0 until 50; p <- Seq(0L, 1L, 11L, 33L, 63L)) {
+      val u = web.url(i, p)
+      assert(UrlNorm.canonicalize(u).contains(u), s"non-canonical synthetic url: $u")
+    }
+    // and the links it emits are its own urls — canonical transitively
+    val ls = web.links(web.url(3, 7))
+    ls.foreach(u => assert(UrlNorm.canonicalize(u).contains(u)))
+  }
+
   test("canonicalization is idempotent (seeded fuzz)") {
     val rnd = new scala.util.Random(42)
     val schemes = Array("http", "https", "HTTP")
