@@ -350,14 +350,14 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
 object CrawlDriver {
   /** FAIR-scheduler pool config for the round loop's two lanes (see
     * [[CrawlDriver.inPool]]): critical-path jobs outweigh commit-lane jobs
-    * 8:1 so next-round state never queues behind a payload write. Shared by
+    * 2:1 so next-round state never queues behind a payload write. Shared by
     * Bench and CrawlMain session builders. */
   lazy val fairPoolsXml: String = {
     val xml =
       """<?xml version="1.0"?>
         |<allocations>
         |  <pool name="critical">
-        |    <schedulingMode>FIFO</schedulingMode><weight>8</weight><minShare>4</minShare>
+        |    <schedulingMode>FIFO</schedulingMode><weight>2</weight><minShare>4</minShare>
         |  </pool>
         |  <pool name="commits">
         |    <schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>0</minShare>
