@@ -508,14 +508,15 @@ object SparkEntry {
     },
 
     "q_embed_neardup" ->
-      // nb mirrors Dedup.deriveNbits integer-exactly: smallest nb in [4,12]
-      // with (n >> nb) <= 256, via the bit-length of ceil(n/256) - 1; the
-      // full 12-bit sign bucket masked to nb low bits == the nb-bit bucket
-      s"""WITH nbt AS (SELECT greatest(4, least(12,
-         |    length(format('{:b}', greatest((count(*) + 255) // 256 - 1, 0))))) AS nb
+      // nb mirrors Dedup.deriveNbits integer-exactly: smallest nb in [4,20]
+      // keeping the expected bucket <= 64 rows, via the bit-length of
+      // ceil(n/64) - 1; the full 20-bit sign bucket masked to nb low bits ==
+      // the nb-bit bucket (plane weights depend only on the bit index)
+      s"""WITH nbt AS (SELECT greatest(4, least(20,
+         |    length(format('{:b}', greatest((count(*) + 63) // 64 - 1, 0))))) AS nb
          |  FROM embeddings),
          |b AS (SELECT vec_id, embedding AS e,
-         |           (${duckBucket("embedding", 12)} & ((1 << (SELECT nb FROM nbt)) - 1)) AS bucket,
+         |           (${duckBucket("embedding", 20)} & ((1 << (SELECT nb FROM nbt)) - 1)) AS bucket,
          |           ${duckNorm("embedding")} AS nrm FROM embeddings),
          |u AS (SELECT vec_id, bucket, list_transform(e, x -> x::DOUBLE / nrm) AS u FROM b)
          |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b

@@ -15,6 +15,28 @@ class OperatorsSpec extends AnyFunSuite {
   private val cfg = CrawlConfig(corpusSize = 300, imageSize = 16)
   private lazy val corpus = SynthWeb.corpus(spark, cfg).toDF().cache()
 
+  test("deriveNbits bounds the expected embed bucket at every corpus scale") {
+    // target ~64-row buckets, clamp [4, 20] (VERDICT r3 #2: the old 12-bit
+    // clamp reintroduced all-pairs blowup past ~10^6 vectors)
+    assert(Dedup.deriveNbits(0) == 4)
+    assert(Dedup.deriveNbits(1000) == 4) // 1000/16 = 62.5 <= 64
+    assert(Dedup.deriveNbits(5000) == 7) // sf0.1-ish: 128 buckets of ~39
+    assert(Dedup.deriveNbits(1000000L) == 14)
+    assert(Dedup.deriveNbits(1000000000L) == 20)
+    assert(Dedup.deriveNbits(10000000000L) == 20)
+    // expected bucket stays bounded through the clamp: pair work per bucket
+    // is O(bucket²) so the bucket must not regrow linearly past the clamp
+    // below the clamp (n <= 64 * 2^20 ~ 6.7e7) the expected bucket is <= 64
+    for (n <- Seq(1000L, 100000L, 1000000L, 10000000L, 67000000L)) {
+      val bucket = n.toDouble / (1L << Dedup.deriveNbits(n))
+      assert(bucket <= 64.0 + 1e-9, s"n=$n expected bucket $bucket > 64")
+    }
+    // at 10^9-10^10 the 20-bit recall clamp binds; bucket grows linearly but
+    // stays ~10^3-10^4 (vs the old clamp's 244k at 10^9 = all-pairs again)
+    assert(1e9 / (1 << 20) < 1000)
+    assert(1e10 / (1 << 20) < 10000)
+  }
+
   test("phash band join finds the planted re-encoded duplicates") {
     val pairs = Dedup.phashNearDupPairs(
       corpus.select(expr("cast(substring(image_id, 4, 9) as long)").as("id"), col("phash")),
