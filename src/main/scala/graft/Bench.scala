@@ -66,7 +66,9 @@ object Bench {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.list(b).iterator().asScala.toSeq.foreach { p =>
           val n = p.getFileName.toString
-          val ours = n.startsWith("bench_crawl_") || n.startsWith("probe_") ||
+          // graft-unique prefixes ONLY (ADVICE r3: a generic prefix like
+          // probe_* could sweep an unrelated process's files)
+          val ours = n.startsWith("graft_bench_crawl_") || n.startsWith("graft_probe_") ||
             (n.startsWith("graft_bench_corpus_") && n.endsWith(".tmp"))
           if (ours) org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
         }
@@ -191,7 +193,7 @@ object Bench {
     // emulates the per-executor storage path for the scaling measurement
     val base = java.nio.file.Paths.get(
       if (freeGb("/dev/shm") >= 24.0) "/dev/shm" else "/tmp")
-    val dir = java.nio.file.Files.createTempDirectory(base, s"bench_crawl_$cores").toString
+    val dir = java.nio.file.Files.createTempDirectory(base, s"graft_bench_crawl_$cores").toString
     try {
     // the deterministic corpus is identical across levels/trials — build it
     // once into a cache and copy (setup cost, excluded from timing anyway;
@@ -372,7 +374,11 @@ object Bench {
     // (±6%), so it defaults to one (expensive) trial; both counts are knobs.
     val loCores = env("SPARK_GRAFT_BENCH_LO", "2").toInt
     val hiCores = env("SPARK_GRAFT_BENCH_HI", "8").toInt
-    val loTrials = env("SPARK_GRAFT_BENCH_TRIALS_LO", "1").toInt
+    // lo defaults to 2 trials since round 4 (VERDICT r3 #3: the lo level's
+    // quiet-round rate moved 20% between rounds — it is now the
+    // efficiency-determining sample, so it deserves the same min-wall
+    // protection as hi; asymmetric sampling biased the official record)
+    val loTrials = env("SPARK_GRAFT_BENCH_TRIALS_LO", "2").toInt
     val hiTrialsMin = env("SPARK_GRAFT_BENCH_TRIALS_HI", "2").toInt
     val hiTrialsMax = env("SPARK_GRAFT_BENCH_TRIALS_HI_MAX", "4").toInt
     // Interference detector: this VM's co-tenant noise inflates the CPU-time

@@ -39,7 +39,7 @@ object ScaleProbe {
       corpusSize = 4096, imageSize = 32, keepAliveBatch = batch,
       verifySample = 1, numBuckets = 64, maxUrlsPerHost = 500)
     val web = new SynthWeb(cfg)
-    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_WORKBASE", "/tmp")), s"probe_$cores").toString
+    val dir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_WORKBASE", "/tmp")), s"graft_probe_$cores").toString
     // try/finally: a leaked probe workdir is ~0.5-5 GB; accumulated leaks
     // filled the disk in round 2 and crashed the official bench
     try {

@@ -95,12 +95,40 @@ object Images {
     writeWith(writer, toImage(px, w, h), param)
   }
 
+  /** Allocation-light ImageInputStream directly over a byte array — the
+    * stock MemoryCacheImageInputStream allocates cache segments per decode,
+    * which at ~600k decodes/round is pure GC churn (the hi-parallelism
+    * level's memory traffic is the round's scaling bottleneck; BENCH.md). */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+    extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int = {
+      if (streamPos >= buf.length) return -1
+      bitOffset = 0
+      val b = buf(streamPos.toInt) & 0xFF
+      streamPos += 1
+      b
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (streamPos >= buf.length) return -1
+      bitOffset = 0
+      val n = math.min(len, buf.length - streamPos.toInt)
+      System.arraycopy(buf, streamPos.toInt, b, off, n)
+      streamPos += n
+      n
+    }
+    override def length(): Long = buf.length.toLong
+    override def isCached: Boolean = true
+    override def isCachedMemory: Boolean = true
+  }
+
+  private def isPngMagic(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 0x50
+
   /** Decode a PNG or JPEG payload back to grayscale pixels. */
   def decode(bytes: Array[Byte]): (Array[Int], Int, Int) = {
-    val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 && bytes(1) == 0x50
+    val isPng = isPngMagic(bytes)
     val reader = if (isPng) pngReaderTL.get() else jpegReaderTL.get()
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
+    val iis = new ByteArrayImageInputStream(bytes)
     val img =
       try { reader.setInput(iis, true, true); reader.read(0) }
       finally { reader.setInput(null); iis.close() }
@@ -135,6 +163,101 @@ object Images {
     while (i < a.length) { val d = (a(i) - b(i)).toDouble; se += d * d; i += 1 }
     if (se == 0.0) Double.PositiveInfinity
     else 10.0 * math.log10(255.0 * 255.0 * a.length / se)
+  }
+
+  /** Reusable per-thread decode state: a destination image handed to the
+    * reader via ImageReadParam.setDestination plus a sample buffer. Kills
+    * the per-row BufferedImage + int[] allocations of the verify hot loop
+    * (~5 KB/row x 600k rows/round of young-gen churn; the 8-core level's
+    * GC and memory traffic are the scaling bottleneck — VERDICT r3 #1). */
+  private final class DecodeBuf {
+    var img: BufferedImage = _
+    var px: Array[Int] = _
+    def ensure(w: Int, h: Int): Unit =
+      if (img == null || img.getWidth != w || img.getHeight != h) {
+        img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        px = new Array[Int](w * h)
+      }
+  }
+  private val decodeBufTL = ThreadLocal.withInitial[DecodeBuf](() => new DecodeBuf)
+
+  /** Decode `bytes` and verify it against the deterministic synthetic ground
+    * truth for `mixedSeed` at dims (w, h) — the input-hint per-row invariant
+    * (exact pixels for png, PSNR >= 40 dB for jpeg), evaluated STREAMING:
+    * the expected pixel is recomputed per (x, y) in registers instead of
+    * being materialized (or cached) as an Array[Int], and the decode reuses
+    * a per-thread destination image. Zero steady-state allocation and zero
+    * shared-cache traffic — the previous per-executor ground-truth memo was
+    * both a bandwidth hog (4 KB reads across cores per row) and an unbounded
+    * -bytes hazard (ADVICE r3). Bit-identical to the materialized
+    * formulation: same per-pixel arithmetic, same y-major/x-minor IEEE
+    * accumulation order for the PSNR fold (pinned by ImagesSpec).
+    */
+  def verifySynth(bytes: Array[Byte], mixedSeed: Long, w: Int, h: Int,
+                  exact: Boolean): Boolean = {
+    val isPng = isPngMagic(bytes)
+    val reader = if (isPng) pngReaderTL.get() else jpegReaderTL.get()
+    val iis = new ByteArrayImageInputStream(bytes)
+    val buf = decodeBufTL.get()
+    val img =
+      try {
+        reader.setInput(iis, true, true)
+        if (reader.getWidth(0) != w || reader.getHeight(0) != h) return false
+        buf.ensure(w, h)
+        val param = reader.getDefaultReadParam
+        param.setDestination(buf.img)
+        try reader.read(0, param)
+        catch {
+          // a payload the gray destination can't take (e.g. an RGB image at
+          // web scale) falls back to the allocating path — same verdict,
+          // just slower for that row
+          case _: Exception =>
+            val (px, dw, dh) = decode(bytes)
+            if (dw != w || dh != h) return false
+            return verifyPixelsAgainstSynth(px, mixedSeed, w, h, exact)
+        }
+      } finally { reader.setInput(null); iis.close() }
+    if (img.getWidth != w || img.getHeight != h) return false
+    val raster = img.getRaster
+    if (raster.getNumBands != 1) {
+      val (px, dw, dh) = decode(bytes)
+      if (dw != w || dh != h) return false
+      return verifyPixelsAgainstSynth(px, mixedSeed, w, h, exact)
+    }
+    raster.getSamples(0, 0, w, h, 0, buf.px)
+    verifyPixelsAgainstSynth(buf.px, mixedSeed, w, h, exact)
+  }
+
+  /** Streaming ground-truth compare: expected pixels recomputed on the fly
+    * with synthPixels' exact per-pixel arithmetic and loop order; `exact`
+    * demands bit equality (png), otherwise PSNR >= 40 dB with the same
+    * y-major squared-error fold as [[psnr]]. */
+  def verifyPixelsAgainstSynth(px: Array[Int], seed: Long, w: Int, h: Int,
+                               exact: Boolean): Boolean = {
+    if (px.length < w * h) return false
+    val s1 = Hashing.splitmix64(seed)
+    val s2 = Hashing.splitmix64(s1)
+    val ax = 1 + Hashing.pmod(s1, 5L).toInt
+    val ay = 1 + Hashing.pmod(s2, 5L).toInt
+    val phase = Hashing.pmod(s1 >>> 8, 256L).toInt
+    var se = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = (phase + (x * ax * 160) / w + (y * ay * 160) / h) % 256
+        val n = Hashing.pmod(Hashing.splitmix64(seed ^ (x.toLong << 32) ^ y.toLong), 9L).toInt - 4
+        val v = math.max(0, math.min(255, base + n))
+        val d = (px(y * w + x) - v).toDouble
+        if (exact && d != 0.0) return false
+        se += d * d
+        x += 1
+      }
+      y += 1
+    }
+    if (exact) true
+    else if (se == 0.0) true
+    else 10.0 * math.log10(255.0 * 255.0 * (w * h).toDouble / se) >= 40.0
   }
 
   /** 64-bit perceptual hash: resample to 32x32, 8x8 DCT low-frequency block,
