@@ -452,6 +452,13 @@ object Bench {
       rs.map(_.rounds.map(r => f"${r._2}%.2f").mkString("[", ",", "]"))
         .mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"query_errors":$errJson,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":${bLo.urls},"sec_lo":${bLo.sec}%.2f,"ups_lo":$upsLo%.1f,"ups_lo_round":$upsLoR%.1f,"cores_lo":$loCores,"cpu_lo":${bLo.cpu}%.1f,"sec_lo_trials":$tLo,"sec_lo_rounds":${roundsJson(runsLo)},"urls_hi":${bHi.urls},"sec_hi":${bHi.sec}%.2f,"ups_hi":$upsHi%.1f,"ups_hi_round":$upsHiR%.1f,"cores_hi":$hiCores,"cpu_hi":${bHi.cpu}%.1f,"sec_hi_trials":$tHi,"sec_hi_rounds":${roundsJson(runsHi)},"scaling_efficiency":$effTrial%.3f,"scaling_efficiency_round":$effRound%.3f}}""")
+      // bench_schema 2 (round 4): scaling_efficiency carries the sustained
+      // trial-level estimator (since r3 — it was round-level min-wall in
+      // r1/r2 under the same key); cpu_run_* replaces cpu_* to say what it
+      // measures — process CPU over the WHOLE child run incl. bootstrap,
+      // not just steady rounds (the quiet detectors compare it
+      // like-for-like across levels, but it is NOT commensurable with
+      // sec_*). Cross-round tooling should key on bench_schema.
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","bench_schema":2,"queries":$qs,"query_errors":$errJson,"sf":"$sfDir","crawl":{"rounds":$crawlRounds,"urls_lo":${bLo.urls},"sec_lo":${bLo.sec}%.2f,"ups_lo":$upsLo%.1f,"ups_lo_round":$upsLoR%.1f,"cores_lo":$loCores,"cpu_run_lo":${bLo.cpu}%.1f,"sec_lo_trials":$tLo,"sec_lo_rounds":${roundsJson(runsLo)},"urls_hi":${bHi.urls},"sec_hi":${bHi.sec}%.2f,"ups_hi":$upsHi%.1f,"ups_hi_round":$upsHiR%.1f,"cores_hi":$hiCores,"cpu_run_hi":${bHi.cpu}%.1f,"sec_hi_trials":$tHi,"sec_hi_rounds":${roundsJson(runsHi)},"scaling_efficiency":$effTrial%.3f,"scaling_efficiency_round":$effRound%.3f}}""")
   }
 }

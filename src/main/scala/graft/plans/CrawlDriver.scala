@@ -54,9 +54,10 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     * earlier-submitted commit jobs hog every task slot and the critical
     * path queues behind a 28s decode stage (profiled: an 11s stateck wall
     * with ~0 CPU). With spark.scheduler.mode=FAIR (see Bench/CrawlMain
-    * session config; pool weights critical=8, commits=1) the critical lane
-    * gets slots immediately while commits stream behind. In FIFO mode the
-    * pool tag is inert, so the engine works unchanged without the config. */
+    * session config; weights/minShares per [[fairPoolsXml]]) the critical
+    * lane gets slots immediately while commits stream behind. In FIFO mode
+    * the pool tag is inert, so the engine works unchanged without the
+    * config. */
   private def inPool[T](pool: String)(body: => T): Future[T] = Future {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
     try body finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)

@@ -294,13 +294,24 @@ object CrawlRound {
     // the host dimension is small, collect the names and discover
     // driver-side into a LocalRelation (embedded free in all consumers, and
     // the hostDims broadcast build becomes trivial). The distributed path
-    // remains for web-scale host spaces.
-    val newHosts =
-      if (dimsBroadcastable) {
+    // remains for web-scale host spaces. The pull is bounded by THIS round's
+    // discovery, not just the previous round's committed host count: an
+    // expansion round can fan links out to millions of new hosts while
+    // knownHosts is still tiny, and an unbounded collect there is a driver
+    // OOM. limit(cap+1) costs one job; overflow routes to the distributed
+    // path, which sees the identical full name set either way.
+    val newHosts = {
+      val cap = 1000000
+      lazy val names: Array[String] =
+        if (dimsBroadcastable) {
+          import spark.implicits._
+          newHostNames.select("host").as[String].limit(cap + 1).collect()
+        } else Array.empty
+      if (dimsBroadcastable && names.length <= cap) {
         import spark.implicits._
-        val names = newHostNames.select("host").as[String].collect().sorted
-        spark.createDataset(names.toSeq.map(h => hostStateFor(h, web, cfg, ts))).toDF()
+        spark.createDataset(names.sorted.toSeq.map(h => hostStateFor(h, web, cfg, ts))).toDF()
       } else discoverHosts(spark, newHostNames, web, cfg, ts).localCheckpoint()
+    }
     phase("hosts")
 
     // ---- admission: robots + live filter (X6), THEN the per-host cap +
