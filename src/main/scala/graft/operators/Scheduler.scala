@@ -57,6 +57,31 @@ object Scheduler {
   def bucketCol(cfg: CrawlConfig) =
     pmod(xxhash64(col("host")), lit(cfg.numBuckets)).cast("int")
 
+  /** The host buckets holding at least one host whose OWN clock is ready —
+    * the round's eligibility support set, computed from the O(hosts)
+    * dimension so the O(frontier) scan in [[dequeue]] can skip cold buckets
+    * entirely. This is the Spark analog of the workbench priority queue's
+    * O(log n) earliest-available peek (`frontier/workbench.clj:84-91`): the
+    * reference never touches non-ready visit states; here the per-bucket
+    * min(next_fetch) summary plays the heap, at bucket granularity.
+    *
+    * Sound over-approximation: a host outside every returned bucket fails
+    * `next_fetch <= ts` itself, so dropping its frontier rows before the
+    * scan cannot change which hosts are chosen — dequeue output is
+    * bit-identical with or without the pruning. (IP readiness is checked
+    * downstream as before; folding it in here would prune more but needs a
+    * host->ip join — the host clock alone already excludes cold buckets.)
+    *
+    * Returns None when every bucket is warm (the filter would be a no-op)
+    * so the bench-shape plan is unchanged when all hosts are hot. */
+  def eligibleBuckets(hostState: DataFrame, roundTs: Long,
+                      cfg: CrawlConfig): Option[Array[Int]] = {
+    val bs = hostState
+      .filter(col("status") === "live" && col("next_fetch") <= lit(roundTs))
+      .select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    if (bs.length >= cfg.numBuckets) None else Some(bs)
+  }
+
   /** Pick this round's fetch list.
     *
     * @param frontier  (url, url_hash, host, path_query, seq_no, priority, round_added)
@@ -64,9 +89,25 @@ object Scheduler {
     * @param ipState   (ip, next_fetch)
     * @return frontier columns + (ip, bucket, crawl_delay_ms) of the chosen rows
     */
-  def dequeue(frontier: DataFrame, hostState: DataFrame, ipState: DataFrame,
+  def dequeue(frontier0: DataFrame, hostState: DataFrame, ipState: DataFrame,
               roundTs: Long, cfg: CrawlConfig, frontSize: Long = 1L,
-              broadcastDims: Boolean = false): DataFrame = {
+              broadcastDims: Boolean = false,
+              eligibleBuckets: Option[Array[Int]] = None): DataFrame = {
+    // cold-bucket pruning (see [[eligibleBuckets]]): restrict the frontier
+    // scan to buckets that can contain an eligible host BEFORE the distinct
+    // and the window join. When the frontier carries its at-rest partition
+    // column `fb` the filter is a partition-pruning predicate — an anchor
+    // or resume round reads only the eligible bucket directories of the
+    // 10^10-row table; otherwise the same cut applies as a codegen'd hash
+    // filter on the in-memory rows.
+    val pruned = eligibleBuckets match {
+      case Some(bs) =>
+        val bCol = if (frontier0.columns.contains("fb")) col("fb") else bucketCol(cfg)
+        frontier0.filter(bCol.isin(bs.map(Int.box).toSeq: _*))
+      case None => frontier0
+    }
+    val frontier =
+      if (pruned.columns.contains("fb")) pruned.drop("fb") else pruned
     // P6 — the path-query-limit feeds the per-host refill cutoff (≙ the
     // refill bound of workbench.clj:209-223): the delay term is per-host
     // (robots crawl-delay differs by host), the memory term is a scalar of

@@ -37,13 +37,17 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     java.nio.file.Paths.get(workDir, "prefilter").toString,
     cfg.prefilterBuckets, cfg.prefilterKeysPerBucket)
 
-  /** Frontier rows with their at-rest bucket: pmod(url_hash, K) — the north
+  /** Frontier rows with their at-rest bucket `fb`: the HOST bucket
+    * (pmod(xxhash64(host), K), bit-equal to hostState.bucket) — the north
     * rule's explicit partitioning for the frontier table. Anchor snapshots
-    * are written partitioned by this column so compose/resume (and future
-    * eligibility scans) can prune buckets instead of scanning the whole
-    * 10^10-row table. */
+    * are written partitioned by this column, and because it keys on the
+    * host, the per-round eligibility scan (Scheduler.eligibleBuckets)
+    * prunes cold buckets instead of scanning the whole 10^10-row table.
+    * The engine computes fb at row creation (bootstrap + newRows); this
+    * guard only backfills it for externally supplied frames. */
   private def withFrontierBucket(df: DataFrame): DataFrame =
-    df.withColumn("fb", pmod(col("url_hash"), lit(cfg.numBuckets.toLong)))
+    if (df.columns.contains("fb")) df
+    else df.withColumn("fb", graft.operators.Scheduler.bucketCol(cfg))
 
   private val profilePhases = sys.env.contains("SPARK_GRAFT_PROFILE")
 
@@ -95,7 +99,11 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     * monotone — no per-round replay loop needed. */
   private def composeFrontier(round: Int, hostState: DataFrame): DataFrame = {
     val a = io.latestSnapshotRound("frontier", round)
-    val snap = io.readSnapshot("frontier", a).drop("fb") // at-rest bucket col
+    // fb rides along: from the snapshot it is the partition column (so a
+    // downstream eligibility filter prunes bucket directories at the scan);
+    // frontier_add deltas carry it as a data column with identical values
+    val snap = io.readSnapshot("frontier", a)
+      .withColumn("fb", col("fb").cast("int"))
     val withAdds = io.readRange("frontier_add", a + 1, round)
       .map(d => snap.unionByName(d.drop("r"))).getOrElse(snap)
     val afterDels = io.readRange("frontier_del", a + 1, round)
@@ -115,9 +123,11 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       phashSeen = io.readDeltas("phash_seen", round))
   }
 
-  /** The materialized frontier at a committed round (test/inspection API). */
+  /** The materialized frontier at a committed round (test/inspection API;
+    * fb is an internal partitioning detail, not part of the logical row). */
   def frontier(round: Int): DataFrame =
     composeFrontier(round, composeKeyed("host_state", "host_delta", round, "host"))
+      .drop("fb")
 
   /** The materialized host-state table at a committed round. */
   def hostState(round: Int): DataFrame =

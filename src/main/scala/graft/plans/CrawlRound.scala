@@ -121,7 +121,13 @@ object CrawlRound {
       .withColumn("seq_no", row_number().over(fifo).cast("long"))
       .withColumn("priority", lit(0))
       .withColumn("round_added", lit(0))
-      .select("url", "url_hash", "host", "path_query", "seq_no", "priority", "round_added")
+      // fb — the frontier's at-rest partition key AND the dequeue pruning
+      // key: the HOST bucket (bit-equal to hostState.bucket), so all of one
+      // host's queued URLs live in one bucket and a cold host's rows are
+      // skippable wholesale (Scheduler.eligibleBuckets)
+      .withColumn("fb", Scheduler.bucketCol(cfg))
+      .select("url", "url_hash", "host", "path_query", "seq_no", "priority",
+        "round_added", "fb")
     val ipState = hostState.select(col("ip")).distinct()
       .withColumn("next_fetch", lit(0L))
     val seen = seeds.select(col("url_hash"), col("url"))
@@ -159,9 +165,19 @@ object CrawlRound {
     val dimsBroadcastable = knownHosts > 0L && knownHosts < 1000000L
 
     // ---- dequeue (P1-P6) + fetch (G1-G4) ----
+    // bucket-pruned eligibility scan: one tiny O(hosts) job tells the
+    // O(frontier) scan which buckets to touch at all. At a 10^10-URL
+    // frontier with politeness leaving <0.1% of hosts ready per round this
+    // is the difference between scanning the whole frontier and reading a
+    // handful of bucket partitions (None = all buckets warm = plan
+    // unchanged, the steady all-hot-hosts shape).
+    val elig =
+      if (cfg.pruneColdBuckets)
+        Scheduler.eligibleBuckets(state.hostState, ts, cfg)
+      else None
     val dequeued = Scheduler
       .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg, frontSize,
-        broadcastDims = dimsBroadcastable)
+        broadcastDims = dimsBroadcastable, eligibleBuckets = elig)
       .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
     // eager localCheckpoint (not cache): truncates the logical plan so the
     // driver does not re-analyze the whole round DAG on every downstream
@@ -356,7 +372,8 @@ object CrawlRound {
       .filter(col("rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
       .select(col("url"), col("url_hash"), col("host"), col("path_query"),
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
-        lit(0).as("priority"), lit(roundIdx).as("round_added"))
+        lit(0).as("priority"), lit(roundIdx).as("round_added"),
+        Scheduler.bucketCol(cfg).as("fb"))
       .localCheckpoint()
     phase("admit")
 

@@ -119,6 +119,7 @@ final case class CrawlConfig(
     prefilterBuckets: Int = 64,          // partitioned cuckoo store: K bucket files
     prefilterKeysPerBucket: Long = 1L << 21, // per-bucket capacity (~4 MB files)
     prefilterMinSeen: Long = 500000L,    // engage the prefilter above this seen size
+    pruneColdBuckets: Boolean = true, // dequeue reads only buckets with an eligible host
     verifySample: Int = 1,       // decode-verify every Nth fetch (1 = all)
     // synthetic web shape (≙ BUbiNG graph-server protocol, README.md:38-41)
     numHosts: Int = 64,

@@ -147,7 +147,7 @@ class CrawlSpec extends AnyFunSuite {
     val dir = freshDir()
     val d = new CrawlDriver(spark, cfgA, dir)
     d.run(web.seeds(6), maxRounds = 2, maxUrls = Long.MaxValue)
-    // bootstrap (r=0) and the anchor (r=2) write fb=pmod(url_hash, K) dirs
+    // bootstrap (r=0) and the anchor (r=2) write fb=host-bucket dirs
     for (r <- Seq(0, 2)) {
       val snap = java.nio.file.Paths.get(dir, "frontier", s"r=$r")
       val parts = Files.list(snap).iterator()
@@ -158,6 +158,65 @@ class CrawlSpec extends AnyFunSuite {
     }
     // the at-rest bucket column never leaks into the logical schema
     assert(!d.frontier(2).columns.contains("fb"))
+  }
+
+  test("cold-bucket pruning: dequeue reads <20% of frontier partitions, bit-identical") {
+    import graft.operators.Scheduler
+    import graft.plans.CrawlRound
+    import graft.sources.TableIO
+    import spark.implicits._
+    // 200 hosts over 128 buckets; ~94% of hosts cold (far-future next_fetch)
+    val cfgP = CrawlConfig(numHosts = 200, pagesPerHost = 8, outDegree = 4,
+      corpusSize = 64, imageSize = 16, numBuckets = 128, keepAliveBatch = 3)
+    val web = new SynthWeb(cfgP)
+    val st = CrawlRound.bootstrap(spark, web, cfgP, web.seeds(200).toDF("url"))
+    val hostCold = st.hostState.withColumn("next_fetch",
+      when(pmod(xxhash64(col("host")), lit(16)) =!= 0, lit(1000000000L))
+        .otherwise(lit(0L)))
+      .localCheckpoint()
+    // the at-rest case: frontier read back from its bucketed snapshot, fb
+    // as the partition column — the 10^10-row shape where pruning must
+    // skip bucket directories, not just filter rows
+    val dir = freshDir()
+    val io = new TableIO(dir, spark)
+    io.writeBucketed("frontier", 0, st.frontier, "fb", cfgP.numBuckets)
+    val front = io.readSnapshot("frontier", 0)
+
+    val elig = Scheduler.eligibleBuckets(hostCold, 0L, cfgP)
+    assert(elig.isDefined, "eligibility summary found no cold buckets to prune")
+    assert(elig.get.length * 5 < cfgP.numBuckets,
+      s"${elig.get.length} of ${cfgP.numBuckets} buckets eligible — not a cold frontier")
+
+    def inputBytes(action: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            acc.addAndGet(e.taskMetrics.inputMetrics.bytesRead): Unit
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { action; org.apache.spark.GraftTestHooks.drainListenerBus(spark.sparkContext) }
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+
+    var resFull: Array[org.apache.spark.sql.Row] = null
+    var resPruned: Array[org.apache.spark.sql.Row] = null
+    val bytesFull = inputBytes {
+      resFull = Scheduler.dequeue(front, hostCold, st.ipState, 0L, cfgP,
+        broadcastDims = true).collect()
+    }
+    val bytesPruned = inputBytes {
+      resPruned = Scheduler.dequeue(front, hostCold, st.ipState, 0L, cfgP,
+        broadcastDims = true, eligibleBuckets = elig).collect()
+    }
+    // bit-identical dequeue
+    assert(resPruned.map(_.toString).sorted.sameElements(resFull.map(_.toString).sorted),
+      "pruned dequeue chose different rows")
+    assert(resFull.nonEmpty, "dequeue chose nothing — test shape broken")
+    // the pruned scan touched <20% of the frontier's bucket partitions
+    assert(bytesFull > 0 && bytesPruned * 5 < bytesFull,
+      s"pruned scan read $bytesPruned of $bytesFull input bytes (want <20%)")
   }
 
   test("error policy: killer classes purge the host, transient classes drop URLs") {
