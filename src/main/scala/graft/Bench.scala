@@ -173,8 +173,20 @@ object Bench {
     val parentOpts = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getInputArguments.asScala.toSeq
       .filterNot(_.startsWith("-XX:ActiveProcessorCount"))
+      .filterNot(_.startsWith("-Xmx"))
     val gcOpts = sys.env.get("SPARK_GRAFT_BENCH_GC").map(g => Seq(s"-XX:+Use${g}GC")).getOrElse(Nil)
-    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ parentOpts ++ gcOpts ++
+    // Child heap CAPPED well below the parent's 32g: the crawl needs ~8-10g,
+    // and letting G1 float the heap to ~28g of touched RSS put this GUEST
+    // past its host's memory budget — the hypervisor started reclaiming,
+    // every fresh page faulted at disk speed, and unpinned 2 GB memcpy
+    // probes read 66-87s with 70 GB "free" inside the guest (the round-4
+    // storms; r3's 150s+ rounds with 37-69s GC walls were the same
+    // pathology). Measured at 8 cores: 32g heap -> rounds 82-170s,
+    // gc 37-69s; 10g heap -> rounds 25-36s, gc 6.5s. Bigger is NOT safer
+    // on an overcommitted host.
+    val childMem = env("SPARK_GRAFT_BENCH_CHILD_MEM", "10g")
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ parentOpts ++
+      Seq(s"-Xmx$childMem") ++ gcOpts ++
       Seq(s"-XX:ActiveProcessorCount=$cores", "-cp", cp,
         "graft.Bench", "--crawl-child", cores.toString, rounds.toString)
     val pb = new ProcessBuilder(cmd: _*)
