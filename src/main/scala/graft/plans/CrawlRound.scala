@@ -163,6 +163,12 @@ object CrawlRound {
     // ~1M hosts x ~100 B/row ≈ 100 MB broadcast — the upper edge of a sane
     // map-side dimension; beyond that the parallel shuffle wins
     val dimsBroadcastable = knownHosts > 0L && knownHosts < 1000000L
+    // per-round DELTAS (consumed keys, dup flags) are bounded by the round's
+    // dequeue budget (hosts x keepalive, ~8-16 B/row) — broadcast them while
+    // that budget is broadcast-sized so O(frontier)/payload-carrying sides
+    // never exchange; past the cut the same plans degrade to shuffle joins
+    val deltasBroadcastable =
+      knownHosts > 0L && knownHosts * math.max(cfg.keepAliveBatch, 1) <= 8000000L
 
     // ---- dequeue (P1-P6) + fetch (G1-G4) ----
     // bucket-pruned eligibility scan: one tiny O(hosts) job tells the
@@ -277,9 +283,19 @@ object CrawlRound {
       lit(roundIdx).as("round"),
       col("fetch_ts"), col("status"), col("image_id"), col("bytes"),
       col("w"), col("h"), col("fmt"), col("caption"), col("phash"), col("verify_ok"))
-    val pagesDelta = pagesRaw.join(phFlags, Seq("url_hash")) // AQE broadcasts the flags
+    // EXPLICIT broadcast of the flags: at ~620k rows the flag delta tops
+    // Spark's 10 MB auto-broadcast cut, and the fallback SMJ exchanges the
+    // PAYLOAD side — profiled at 8 cores as the round's heaviest CPU stage
+    // (decode+verify, ~114 core-s) squeezed into 16 AQE-coalesced tasks
+    // behind a ~1.9 GB image-bytes shuffle. Broadcasting the narrow side
+    // keeps the payload in its 64 politeness-bucket partitions (full slot
+    // packing, zero payload exchange) — the same never-shuffle-the-payload
+    // rule the frontier update follows; degrades to the shuffle join past
+    // the round-budget cut.
+    val flagsSide = if (deltasBroadcastable) broadcast(phFlags) else phFlags
+    val pagesDelta = pagesRaw.join(flagsSide, Seq("url_hash"))
     val phashSeenDelta = okMeta.select("url_hash", "phash")
-      .join(phFlags, Seq("url_hash"))
+      .join(flagsSide, Seq("url_hash"))
       .filter(!col("phash_dup")).select(col("phash")).distinct()
 
     // ---- the sieve FIRST: once and once only (D1-D5). The anti-join runs
@@ -484,15 +500,13 @@ object CrawlRound {
       .unionByName(fetched.filter(col("status") === -1)
         .join(dropHosts, Seq("host"), "left_semi").select("url_hash"))
     val deadHosts = hostStateNew.filter(col("status") === "dead").select("host")
-    // broadcast the DELTAS, never exchange the table: `consumed` is bounded
-    // by the round's dequeue budget (hosts x keepalive — 8-byte keys), so
-    // while that budget is broadcast-sized the O(frontier) anti-joins run
-    // with ZERO exchange of the frontier itself. At a 10^10-URL frontier
-    // this is the difference between shuffling 10^10 rows per round and
-    // shipping an ~O(10^7)-key delta to every executor; past the budget cut
-    // the same plan degrades to the shuffled anti-join.
-    val deltasBroadcastable =
-      knownHosts > 0L && knownHosts * math.max(cfg.keepAliveBatch, 1) <= 8000000L
+    // broadcast the DELTAS, never exchange the table (deltasBroadcastable,
+    // defined at the top of the round): while the round budget is
+    // broadcast-sized the O(frontier) anti-joins run with ZERO exchange of
+    // the frontier itself. At a 10^10-URL frontier this is the difference
+    // between shuffling 10^10 rows per round and shipping an ~O(10^7)-key
+    // delta to every executor; past the budget cut the same plan degrades
+    // to the shuffled anti-join.
     val consumedSide = if (deltasBroadcastable) broadcast(consumed) else consumed
     val deadSide = if (deltasBroadcastable) broadcast(deadHosts) else deadHosts
     val frontierNew = state.frontier
