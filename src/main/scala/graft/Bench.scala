@@ -127,21 +127,27 @@ object Bench {
 
   /** Wait out a bandwidth storm before spending a ~10 min trial: probe, and
     * while the reading is >4x the best reading seen this run (and above an
-    * absolute quiet ceiling), sleep and re-probe, up to a bounded total
-    * delay (storms observed this round last ~5-15 min). If the storm
-    * outlives the budget the trial runs anyway — min-wall across trials
-    * remains the final filter; the gate only stops KNOWN-wasted spend. */
+    * absolute quiet ceiling), sleep and re-probe, up to a bounded per-trial
+    * delay AND a bounded whole-run budget (storms observed this round last
+    * ~5-15 min; a 6-trial bench must not stretch by an hour of gate waits
+    * and risk the harness's own wall-clock window). If the storm outlives
+    * the budget the trial runs anyway — min-wall across trials remains the
+    * final filter; the gate only stops KNOWN-wasted spend. */
+  private var stormWaitedSec: Double = 0.0
   private def awaitQuietWindow(): Unit = {
     val maxWaitSec = env("SPARK_GRAFT_BENCH_STORM_WAIT", "600").toInt
+    val runBudgetSec = env("SPARK_GRAFT_BENCH_STORM_BUDGET", "1200").toInt
     val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
     var p = memProbeSec()
     def stormy: Boolean =
       p > 1.5 && (probeLog.isEmpty || p > 4.0 * math.min(probeLog.min, 1.0))
-    while (stormy && (System.nanoTime() - t0) / 1e9 < maxWaitSec) {
+    while (stormy && waited < maxWaitSec && stormWaitedSec + waited < runBudgetSec) {
       System.err.println(f"[bench] storm gate: probe $p%.2f s — waiting 60 s")
       Thread.sleep(60000)
       p = memProbeSec()
     }
+    stormWaitedSec += waited
     probeLog += p
     System.err.println(f"[bench] probe ${p}%.2f s -> launching trial")
   }
