@@ -101,7 +101,17 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     val a = io.latestSnapshotRound("frontier", round)
     // fb rides along: from the snapshot it is the partition column (so a
     // downstream eligibility filter prunes bucket directories at the scan);
-    // frontier_add deltas carry it as a data column with identical values
+    // frontier_add deltas carry it as a data column with identical values.
+    // TRUST GATE (ADVICE r4): fb's meaning changed in state_format 2 (was
+    // pmod(url_hash,K), now the host bucket the eligibility scan prunes on);
+    // rows committed under an older format would silently starve eligible
+    // hosts, so when any covering manifest predates the current format,
+    // recompute fb from the host instead of trusting the stored column.
+    // Checking the endpoints (a, round) suffices: formats are monotone in
+    // round (a workdir only ever moves forward to newer code).
+    val fmt = graft.sources.TableIO.StateFormat
+    val fbTrusted = io.stateFormat(a) == fmt &&
+      (a == round || io.stateFormat(round) == fmt)
     val snap = io.readSnapshot("frontier", a)
       .withColumn("fb", col("fb").cast("int"))
     val withAdds = io.readRange("frontier_add", a + 1, round)
@@ -109,8 +119,10 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     val afterDels = io.readRange("frontier_del", a + 1, round)
       .map(d => withAdds.join(d.select("url_hash"), Seq("url_hash"), "left_anti"))
       .getOrElse(withAdds)
-    afterDels.join(hostState.filter(col("status") === "dead").select("host"),
+    val live = afterDels.join(
+      hostState.filter(col("status") === "dead").select("host"),
       Seq("host"), "left_anti")
+    if (fbTrusted) live else withFrontierBucket(live.drop("fb"))
   }
 
   private def loadState(round: Int): CrawlState = {
@@ -187,6 +199,19 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     var batch = countsOf(startRound).getOrElse("keepalive", cfg.keepAliveBatch.toLong).toInt
     var pendingCommit: Future[Unit] = Future.successful(())
     var pendingFilterAdd: Future[Unit] = Future.successful(())
+    // Eligibility off the critical path (VERDICT r4 #1a): the cold-bucket
+    // set for round N is a pure function of round N-1's committed host state
+    // and round N's tick, so it is computed CONCURRENTLY with round N-1's
+    // metrics/commit bookkeeping and handed to round N ready-made — the
+    // in-round serial job it replaces was one more car on the narrow-stage
+    // train that caps wide-level scaling. Same inputs, same values: dequeue
+    // output is bit-identical to the in-round computation.
+    def eligFor(hs: DataFrame, round: Int): Option[Array[Int]] =
+      if (cfg.pruneColdBuckets)
+        graft.operators.Scheduler.eligibleBuckets(hs, round.toLong * cfg.roundTickMs, cfg)
+      else None
+    var eligF: Future[Option[Array[Int]]] =
+      inPool("critical")(eligFor(state.hostState, startRound + 1))
     var stop = false
     // external stop: a STOP file in the workDir ends the run at the next
     // round boundary (≙ the :ramper/runtime-stop poll, agent.clj:106-117)
@@ -209,13 +234,20 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
         if (cfg.bloomPrefilter && seenTotal > cfg.prefilterMinSeen)
           Some(prefilterStore.predicate(spark))
         else None
+      val elig = Await.result(eligF, Duration.Inf)
+      phase("eligwait")
       val res = CrawlRound.run(spark, state, corpus, web,
         cfg.copy(keepAliveBatch = batch), round, seenTotal,
         frontSize = math.max(hostsPrev, 1L), extractor = linkEx,
-        prefilter = prefilter, knownHosts = hostsPrev)
+        prefilter = prefilter, knownHosts = hostsPrev,
+        precomputedElig = Some(elig))
       // filter insertion overlaps the commit writes; the manifest commit and
       // the next round's dequeue both gate on it
       pendingFilterAdd = inPool("critical")(prefilterStore.addDelta(res.seenDelta))
+      // next round's eligibility rides the metrics window: res.hostState is
+      // already checkpointed inside the round, so this is one tiny O(hosts)
+      // job racing the (independent) metric aggregates below
+      eligF = inPool("critical")(eligFor(res.hostState, round + 1))
 
       // materialize next-round state eagerly — the three checkpoints are
       // independent, so run them as concurrent jobs (and concurrently with

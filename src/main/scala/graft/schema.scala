@@ -120,6 +120,14 @@ final case class CrawlConfig(
     prefilterKeysPerBucket: Long = 1L << 21, // per-bucket capacity (~4 MB files)
     prefilterMinSeen: Long = 500000L,    // engage the prefilter above this seen size
     pruneColdBuckets: Boolean = true, // dequeue reads only buckets with an eligible host
+    // fetch/verify-stage salt: split each politeness bucket's fetch batch
+    // across this many partitions (numBuckets*salt total). The decode/verify
+    // payload is size-skewed per host, so at wide parallelism the 1-partition-
+    // per-bucket layout leaves a straggler tail (~20% over ideal packing at 8
+    // cores, BENCH.md r4); salting packs the tail into finer waves. 1 = the
+    // unsalted layout. Outputs are bit-identical either way (partitioning is
+    // physical only — every rank/dedup downstream keys on logical columns).
+    fetchSaltParts: Int = 1,
     verifySample: Int = 1,       // decode-verify every Nth fetch (1 = all)
     // synthetic web shape (≙ BUbiNG graph-server protocol, README.md:38-41)
     numHosts: Int = 64,

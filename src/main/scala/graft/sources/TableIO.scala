@@ -129,11 +129,14 @@ final class TableIO(val workDir: String, spark: SparkSession) {
   /** Commit a round: manifest written to a temp file then atomically renamed
     * — a reader never observes a partial commit; a killed job resumes from
     * the highest manifest present (bit-identically, because rounds are
-    * deterministic functions of committed state). */
+    * deterministic functions of committed state). The manifest carries
+    * [[TableIO.StateFormat]] so a resume can detect snapshots written under
+    * an older on-disk column semantics (e.g. the round-4 fb change from
+    * url-hash bucket to host bucket) and recompute instead of trusting them. */
   def commit(round: Int, configHash: String, counts: Map[String, Long]): Unit = {
     val countsJson = counts.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     val json =
-      s"""{"round": $round, "config_hash": "$configHash", "counts": $countsJson}"""
+      s"""{"round": $round, "config_hash": "$configHash", "state_format": ${TableIO.StateFormat}, "counts": $countsJson}"""
     val tmp = root.resolve(s".manifest_r$round.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(round), StandardCopyOption.ATOMIC_MOVE,
@@ -153,4 +156,23 @@ final class TableIO(val workDir: String, spark: SparkSession) {
 
   def readManifest(round: Int): String =
     new String(Files.readAllBytes(manifestPath(round)), StandardCharsets.UTF_8)
+
+  /** The state_format a committed round's snapshots were written under
+    * (0 = pre-versioning manifest, or none readable for that round). */
+  def stateFormat(round: Int): Int =
+    try """"state_format":\s*(\d+)""".r.findFirstMatchIn(readManifest(round))
+      .map(_.group(1).toInt).getOrElse(0)
+    catch { case _: Exception => 0 }
+}
+
+object TableIO {
+  /** On-disk state-format version, bumped when a persisted column's MEANING
+    * changes (not its name/type — schema evolution Parquet can see):
+    *   1 — frontier `fb` = pmod(url_hash, K)
+    *   2 — frontier `fb` = host bucket, pmod(xxhash64(host), K) (round 4:
+    *       the dequeue eligibility scan prunes on it, so a stale url-hash
+    *       fb would silently starve eligible hosts — ADVICE r4)
+    * A resume that finds an older format recomputes the affected columns
+    * from the logical row instead of trusting the snapshot verbatim. */
+  val StateFormat: Int = 2
 }

@@ -118,6 +118,73 @@ class CrawlSpec extends AnyFunSuite {
     assert(fingerprint(straight) == fingerprint(resumed), "resume broke bit-identity")
   }
 
+  test("fetchSaltParts > 1 changes only the physical layout: outputs bit-identical") {
+    val web = new SynthWeb(cfg)
+    def runFull(c: CrawlConfig): (Seq[(Long, Long)], Seq[Long]) = {
+      val d = new CrawlDriver(spark, c, freshDir())
+      d.run(web.seeds(4), maxRounds = 4, maxUrls = Long.MaxValue)
+      val r = d.latestRound().get
+      (d.pages(r).select("url_hash", "phash").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSeq.sorted,
+        d.seen(r).select("url_hash").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    val (p1, s1) = runFull(cfg)
+    val (p4, s4) = runFull(cfg.copy(fetchSaltParts = 4))
+    assert(p1 == p4, "fetch salt changed the pages output")
+    assert(s1 == s4, "fetch salt changed the seen set")
+  }
+
+  test("state-format trust gate: resume recomputes fb from an old-format workdir") {
+    // Simulate a workdir written by pre-format-2 code whose stored fb has
+    // DIFFERENT semantics (ADVICE r4: trusting it silently starves eligible
+    // hosts): corrupt fb in the committed anchor snapshots, strip
+    // state_format from every manifest, then resume — the gate must
+    // recompute fb from the host, making the resumed run bit-identical to a
+    // straight run. Remove the gate and this test fails (the corrupt fb
+    // prunes the wrong bucket directories).
+    val cfgA = cfg.copy(reanchorEvery = 2)
+    val web = new SynthWeb(cfgA)
+    val dirA = freshDir(); val dirB = freshDir()
+    val straight = new CrawlDriver(spark, cfgA, dirA)
+    straight.run(web.seeds(4), maxRounds = 5, maxUrls = Long.MaxValue)
+
+    val first = new CrawlDriver(spark, cfgA, dirB)
+    first.run(web.seeds(4), maxRounds = 3, maxUrls = Long.MaxValue)
+    // corrupt every frontier snapshot's fb (rotate buckets) and rewrite it
+    // with the same at-rest layout, then strip the manifests' state_format
+    val fDir = java.nio.file.Paths.get(dirB, "frontier")
+    val snaps = Files.list(fDir).iterator()
+    Iterator.continually(snaps).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.startsWith("r=")).toSeq.foreach { p =>
+        val rows = spark.read.parquet(p.toString)
+          .withColumn("fb", pmod(col("fb").cast("int") + lit(3), lit(cfgA.numBuckets)))
+        val tmp = p.getParent.resolve(p.getFileName.toString + ".tmp")
+        rows.repartition(cfgA.numBuckets, col("fb"))
+          .write.mode("overwrite").partitionBy("fb").parquet(tmp.toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+        Files.move(tmp, p)
+      }
+    val mans = Files.list(java.nio.file.Paths.get(dirB)).iterator()
+    Iterator.continually(mans).takeWhile(_.hasNext).map(_.next())
+      .filter(_.getFileName.toString.startsWith("manifest_r")).toSeq.foreach { m =>
+        val js = new String(Files.readAllBytes(m), java.nio.charset.StandardCharsets.UTF_8)
+          .replaceAll(""""state_format":\s*\d+,\s*""", "")
+        Files.write(m, js.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+
+    val resumed = new CrawlDriver(spark, cfgA, dirB)
+    resumed.run(web.seeds(4), maxRounds = 2, maxUrls = Long.MaxValue)
+    def fp(d: CrawlDriver): (Seq[(Long, Int)], Seq[Long]) = {
+      val r = d.latestRound().get
+      (d.pages(r).select("url_hash", "round").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).toSeq.sorted,
+        d.seen(r).select("url_hash").collect().map(_.getLong(0)).toSeq.sorted)
+    }
+    assert(straight.latestRound() == resumed.latestRound())
+    assert(fp(straight) == fp(resumed),
+      "old-format fb was trusted — resume diverged from the straight run")
+  }
+
   test("resume across anchors + compaction stays bit-identical (reanchorEvery=2)") {
     // anchors at rounds 2 and 4 write snapshots AND compact seen/phash_seen;
     // resume from a non-anchor round (3) must compose snapshot+deltas exactly
