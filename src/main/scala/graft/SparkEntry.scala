@@ -32,8 +32,11 @@ object SparkEntry {
             java.nio.file.Files.getLastModifiedTime(p).toMillis)
           .toSeq.sorted.mkString(",")
       } else ""
+    // the digest folds in the index FORMAT version: a cached index built by
+    // older bucketing code must be rebuilt, not probed with new-code keys
+    val fmt = graft.operators.AnnIndex.FormatVersion
     val digest = java.lang.Long.toHexString(
-      graft.functions.Hashing.xxhash64(s"$dataDir#$variant#$sig"))
+      graft.functions.Hashing.xxhash64(s"$dataDir#$variant#v$fmt#$sig"))
     s"/tmp/graft_ann_${variant}_$digest"
   }
 
@@ -73,11 +76,22 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}))"
 
+  /** DuckDB mirror of VectorOps.planeWeightScalar (the double-square mix;
+    * `bit` and `dim0` are SQL expressions, dim0 0-based, both non-negative
+    * BIGINT so `%` remainder semantics agree with the JVM). The s/t
+    * subexpressions are textually repeated — SQL lambdas have no lets — but
+    * every intermediate stays under 1.1e10, well inside BIGINT. */
+  private def duckPlaneWeight(bit: String, dim0: String): String = {
+    val s = s"(($bit * 73856093 + $dim0 * 19349663) % 100003)"
+    val t = s"(($s * $s + $bit) % 100003)"
+    s"(($t * $t % 100003) % 1999 - 999)"
+  }
+
   /** DuckDB sign-bucket (mirrors Ann.signBucket: dim index is 0-based). */
   private def duckBucket(v: String, nbits: Int): String =
     (0 until nbits).map { b =>
       val dot = s"list_reduce(list_transform(generate_series(1, len($v)), " +
-        s"i -> $v[i]::DOUBLE * (($b * 73856093 + (i - 1) * 19349663) % 2001 - 1000)::DOUBLE), (x, y) -> x + y)"
+        s"i -> $v[i]::DOUBLE * ${duckPlaneWeight(b.toString, "(i - 1)")}::DOUBLE), (x, y) -> x + y)"
       s"(case when $dot > 0 then ${1L << b} else 0 end)"
     }.mkString("(", " + ", ")")
 
@@ -508,19 +522,37 @@ object SparkEntry {
     },
 
     "q_embed_neardup" ->
-      // nb mirrors Dedup.deriveNbits integer-exactly: smallest nb in [4,20]
-      // keeping the expected bucket <= 32 rows, via the bit-length of
-      // ceil(n/32) - 1; the full 20-bit sign bucket masked to nb low bits ==
-      // the nb-bit bucket (plane weights depend only on the bit index)
+      // Banded sign-LSH mirror (Dedup.embeddingNearDupPairsAuto):
+      //  - nb mirrors deriveNbits integer-exactly: smallest nb in [4,20]
+      //    keeping the expected bucket <= 32 rows, via the bit-length of
+      //    ceil(n/32) - 1
+      //  - l mirrors deriveTables as a CASE (smallest table count with
+      //    >= 0.9 theoretical recall at cos 0.9 for band width nb)
+      //  - band t's key packs signs of planes t*nb..t*nb+nb-1, the same
+      //    plane-weight formula and ascending-i IEEE folds as SignBands
       s"""WITH nbt AS (SELECT greatest(4, least(20,
          |    length(format('{:b}', greatest((count(*) + 31) // 32 - 1, 0))))) AS nb
          |  FROM embeddings),
+         |lt AS (SELECT CASE nb WHEN 4 THEN 3 WHEN 5 THEN 4 WHEN 6 THEN 5
+         |    WHEN 7 THEN 6 WHEN 8 THEN 7 WHEN 9 THEN 9 WHEN 10 THEN 10
+         |    WHEN 11 THEN 12 WHEN 12 THEN 14 WHEN 13 THEN 17 WHEN 14 THEN 19
+         |    WHEN 15 THEN 23 WHEN 16 THEN 27 WHEN 17 THEN 31 WHEN 18 THEN 37
+         |    WHEN 19 THEN 43 ELSE 50 END AS l FROM nbt),
          |b AS (SELECT vec_id, embedding AS e,
-         |           (${duckBucket("embedding", 20)} & ((1 << (SELECT nb FROM nbt)) - 1)) AS bucket,
-         |           ${duckNorm("embedding")} AS nrm FROM embeddings),
-         |u AS (SELECT vec_id, bucket, list_transform(e, x -> x::DOUBLE / nrm) AS u FROM b)
+         |           list_transform(embedding, x -> x::DOUBLE / ${duckNorm("embedding")}) AS u
+         |      FROM embeddings),
+         |keyed AS (
+         |  SELECT vec_id, t, u,
+         |    list_reduce(list_transform(generate_series(0, nb - 1), j ->
+         |      CASE WHEN list_reduce(list_transform(generate_series(1, len(e)),
+         |          i -> e[i]::DOUBLE *
+         |            ${duckPlaneWeight("(t * nb + j)::BIGINT", "(i - 1)::BIGINT")}::DOUBLE),
+         |          (x, y) -> x + y) > 0
+         |        THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+         |      (a, x) -> a + x) AS key
+         |  FROM b, nbt, lt, unnest(generate_series(0, l - 1)) AS tt(t))
          |SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |FROM u x JOIN u y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |FROM keyed x JOIN keyed y ON x.t = y.t AND x.key = y.key AND x.vec_id < y.vec_id
          |WHERE list_reduce(list_transform(generate_series(1, len(x.u)),
          |  i -> x.u[i] * y.u[i]), (a, c) -> a + c) * 100 >= 30""".stripMargin,
 

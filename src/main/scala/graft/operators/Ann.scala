@@ -47,14 +47,27 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane weight for (bit, dim):
-    * integer in [-1000, 1000] — identical formula is emitted into oracle SQL
-    * (`(bit*73856093 + i*19349663) % 2001 - 1000`, all terms non-negative so
-    * `%` agrees across engines). */
-  private def planeWeight(bit: Int, dim: Column): Column =
-    (lit(bit.toLong * 73856093L) + dim.cast("long") * 19349663L) % 2001L - 1000L
+    * integer in [-999, 999] — identical formula is emitted into oracle SQL
+    * (SparkEntry.duckPlaneWeight; every intermediate fits BIGINT and all
+    * `%` operands are non-negative, so remainder semantics agree across
+    * engines). The mix squares twice to break linearity: the original
+    * single-LCG weight `(bit*A + i*B) % 2001 - 1000` had B ≡ -7 (mod 2001),
+    * making every plane a near-arithmetic ramp — planes were near-PARALLEL
+    * (measured mean inter-plane |cos| 0.88, some exactly 1.0), which
+    * collapsed 20-bit sign buckets to ~76 distinct keys at 2*10^5 vectors
+    * (the all-pairs blowup deriveNbits exists to prevent) and froze banded
+    * recall at ~0.83 vs the 0.92 independence theory. The double-square mix
+    * is statistically indistinguishable from i.i.d. Gaussian planes
+    * (mean |cos| 0.199 vs random 0.203 at dim 16; max bucket 112 vs 2033
+    * for a single square) — see VectorOpsSpec's planted-pair recall spec. */
+  private def planeWeight(bit: Int, dim: Column): Column = {
+    val s = (lit(bit.toLong * 73856093L) + dim.cast("long") * 19349663L) % 100003L
+    val t = (s * s + lit(bit.toLong)) % 100003L
+    (t * t) % 100003L % 1999L - 999L
+  }
 
-  private def planeWeightScalar(bit: Int, dim: Int): Double =
-    ((bit.toLong * 73856093L + dim.toLong * 19349663L) % 2001L - 1000L).toDouble
+  private[graft] def planeWeightScalar(bit: Int, dim: Int): Double =
+    graft.functions.VectorOps.planeWeightScalar(bit, dim)
 
   /** Sign-bucket of a vector under `nbits` deterministic hyperplanes:
     * bit b = sign of the dot product with hyperplane b. */
@@ -151,6 +164,16 @@ object Ann {
   * corpus at the SCAN — the shape that survives 100 TB (assignment is never
   * recomputed per query; `.explain` shows the pruned PartitionFilters). */
 object AnnIndex {
+
+  /** Index-format version: bump whenever the on-disk index SEMANTICS change
+    * (not the schema — a change a reader can't detect structurally). Callers
+    * must fold this into the index path/digest so a persisted index built by
+    * older code is rebuilt instead of silently probed with new-code keys —
+    * the same trust-gate pattern as TableIO.StateFormat (ADVICE r4).
+    *   2 — sign-LSH plane family switched to the double-square mix
+    *       (VectorOps.planeWeightScalar); buckets of a v1 LSH index are
+    *       incompatible with v2 query bucketing. */
+  val FormatVersion: Int = 2
 
   /** Build (idempotent): cell-partitioned data + the centroid table. */
   def buildIvf(df: DataFrame, idCol: String, vecCol: String,

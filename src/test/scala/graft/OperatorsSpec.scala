@@ -38,6 +38,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(1e10 / (1 << 20) < 10000)
   }
 
+  test("deriveTables: >= 0.9 recall at cos 0.9 for every band width, minimally, with bounded pair work") {
+    // per-plane agreement at cos 0.9 (random-hyperplane LSH collision prob)
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    def recall(b: Int, l: Int): Double = 1.0 - math.pow(1.0 - math.pow(p, b), l)
+    for (b <- 4 to 20) {
+      val l = Dedup.deriveTables(b)
+      assert(recall(b, l) >= 0.9, f"b=$b L=$l recall ${recall(b, l)}%.3f < 0.9")
+      assert(recall(b, l - 1) < 0.9, s"b=$b: L=$l not minimal")
+    }
+    // total expected candidate work stays bounded at the top of the scale
+    // range: per-row candidate dots = L * expected bucket. At 10^9 (nb=20,
+    // L=50, bucket ~954) that is ~4.8e4 dots/row; at 10^10 ~4.8e5 — five
+    // orders of magnitude under the n dots/row of an all-pairs collapse.
+    for (n <- Seq(1e9, 1e10)) {
+      val nb = Dedup.deriveNbits(n.toLong)
+      val l = Dedup.deriveTables(nb)
+      val dotsPerRow = l * (n / (1L << nb))
+      assert(dotsPerRow <= 1e6, f"n=$n%.0e: $dotsPerRow%.0f candidate dots/row")
+    }
+  }
+
   test("phash band join finds the planted re-encoded duplicates") {
     val pairs = Dedup.phashNearDupPairs(
       corpus.select(expr("cast(substring(image_id, 4, 9) as long)").as("id"), col("phash")),
