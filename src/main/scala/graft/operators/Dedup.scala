@@ -77,32 +77,32 @@ object Dedup {
     val sh = shingleHashes(df, textCol, idCol, k).cache()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     // df via a window over the shingle partition (not agg + join-back): one
-    // shuffle, and the self-join below reuses the same sh-partitioning.
-    // Checkpointed so the window stage runs ONCE for both self-join sides:
-    // adjudicated by EXPLAIN (BENCH.md r5) — the un-checkpointed self-join
-    // plan contains TWO full Window+Sort+Exchange pipelines and zero
-    // ReusedExchange nodes, so without this the biggest intermediate is
-    // shuffled and sorted twice. EAGER-EXECUTION CONTRACT (ADVICE r4): this
-    // call runs a Spark job at plan-construction time and pins the
-    // checkpointed partitions until the ContextCleaner collects the result
-    // plan. (A lazy checkpoint was tried and reverted: the Observation's
-    // metrics never fire through the downstream query execution — the
-    // checkpointed plan becomes a LogicalRDD in a different QE — so the
-    // truncation telemetry silently reads null/0.) The cutoff's dropped-row
-    // count rides the materialization pass as an observed metric — silent
-    // truncation becomes one visible log line per run.
-    val obs = org.apache.spark.sql.Observation()
-    val rare = materialize(
-      sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .observe(obs,
-          sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped"),
-          count(lit(1)).as("total"))
-        .filter(col("df") <= maxDf).drop("df"))
-    capLog(s"jaccard maxDf=$maxDf dropped_shingle_rows=${obs.get("dropped")}" +
-      s" of=${obs.get("total")}")
-    val a = rare.select(col(idCol).as("id_a"), col("sh"))
-    val b = rare.select(col(idCol).as("id_b"), col("sh"))
-    val common = a.join(b, Seq("sh")).filter(col("id_a") < col("id_b"))
+    // shuffle, sort-based and spill-safe even on a web-scale hot shingle.
+    // The dropped-row telemetry rides the pipeline as a NAMED observation
+    // logged by a QueryExecutionListener when the caller's action runs —
+    // nothing here blocks or materializes, the plan is fully lazy
+    // (ADVICE r4; replaces the r4 eager localCheckpoint, which a capped-JVM
+    // quiet measurement priced at ~1.2 s/run at sf0.1 — more than the
+    // duplicated window it avoided).
+    val rare = observeLogged(
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh")))),
+      s"jaccard maxDf=$maxDf",
+      sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_shingle_rows"),
+      count(lit(1)).as("of"))
+      .filter(col("df") <= maxDf).drop("df")
+    // pair formation WITHOUT a self-join: group each rare shingle's ids
+    // (post-filter, so every group is <= maxDf elements — the collect_list
+    // buffer is bounded; ubiquitous shingles never reach it) and emit the
+    // ordered pairs directly. The groupBy reuses the window's sh
+    // partitioning (no exchange), where the r2-r4 self-join recomputed the
+    // whole shuffle+sort pipeline for its second side (EXPLAIN: two full
+    // Window+Sort+Exchange subtrees, zero ReusedExchange).
+    val common = rare
+      .groupBy(col("sh")).agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
     common
       .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
@@ -262,6 +262,41 @@ object Dedup {
       f"expected_bucket=${n.toDouble / (1L << nb)}%.1f")
     embeddingNearDupPairsBanded(df, idCol, vecCol, simThresholdPct, nb, tables)
   }
+
+  private val obsSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val obsSessions =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  /** Attach truncation telemetry as a NAMED observation logged when the
+    * caller's action completes — non-blocking, no forced materialization
+    * (the r4 shape called the blocking `Observation.get` at plan-CONSTRUCTION
+    * time, which required an eager checkpoint to have anything to read;
+    * ADVICE r4). The metric name carries the operator context; a
+    * once-per-session QueryExecutionListener routes every `[dedup]`-prefixed
+    * observation to [[capLog]]. */
+  private def observeLogged(df: DataFrame, context: String, metrics: Column*): DataFrame = {
+    val spark = df.sparkSession
+    if (obsSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach {
+            case (name, row) if name.startsWith(ObsPrefix) =>
+              capLog(s"${name.substring(ObsPrefix.length).replaceFirst("#\\d+$", "")} " +
+                row.schema.fieldNames.map(f => s"$f=${row.getAs[Any](f)}").mkString(" "))
+            case _ => ()
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    // the seq suffix keeps names unique when one query composes the same
+    // operator twice (observation names must be unique within a query)
+    df.observe(s"$ObsPrefix$context#${obsSeq.incrementAndGet()}", metrics.head, metrics.tail: _*)
+  }
+  private val ObsPrefix = "graft.dedup/"
 
   /** Truncation telemetry sink — every bounded operator (maxDf cutoff,
     * bucketCap, auto-nbits) emits one line per run so silent truncation is
