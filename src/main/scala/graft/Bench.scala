@@ -259,12 +259,14 @@ object Bench {
   private def crawlRun(cores: Int, rounds: Int): LevelRun = {
     val spark = session(cores)
     val cfg = CrawlConfig(
-      // 40k hosts => ~620k URLs/round: the per-round serial remainder
-      // (~8s of Catalyst planning + commit bookkeeping, constant in data
-      // size) drops from ~20% to ~10% of a hi-level round, which is what a
-      // production-sized round (10^7-10^8 URLs) looks like; measured eff
-      // 20k hosts ~0.75-0.79 vs 40k hosts ~0.91 with identical engine code
-      numHosts = env("SPARK_GRAFT_BENCH_HOSTS", "40000").toInt,
+      // 80k hosts => ~1.24M URLs/round (round 5; was 40k/620k): the
+      // per-round serial remainder (~10-15s of narrow bookkeeping stages +
+      // straggler tails, constant in data size) halves again as a fraction
+      // of the round — measured round-level efficiency 0.63 (620k) -> 0.73
+      // (1.24M) with identical engine code. The bigger sizing needs the
+      // "ser" state storage below to fit the 10 g child heap (the r4 probe
+      // at "memory" GC-thrashed; BENCH.md round 5).
+      numHosts = env("SPARK_GRAFT_BENCH_HOSTS", "80000").toInt,
       pagesPerHost = 200, outDegree = 20,
       corpusSize = 4096, imageSize = env("SPARK_GRAFT_BENCH_IMG", "32").toInt,
       // batch 64 from round 1 (seeds fill every queue) => UNIFORM rounds;
@@ -275,8 +277,13 @@ object Bench {
       bloomPrefilter = env("SPARK_GRAFT_BENCH_PREFILTER", "1") == "1",
       pipelineCommits = env("SPARK_GRAFT_BENCH_PIPELINE", "1") == "1",
       // split each politeness bucket's size-skewed decode payload across
-      // this many partitions (straggler-tail packing; CrawlConfig scaladoc)
-      fetchSaltParts = env("SPARK_GRAFT_BENCH_FETCH_SALT", "1").toInt,
+      // this many partitions (straggler-tail packing; CrawlConfig scaladoc).
+      // 4 measured best at the 80k sizing: hi sustained +15% vs salt 1,
+      // mostly by packing the drain round's final pages flush (178 -> 135s)
+      fetchSaltParts = env("SPARK_GRAFT_BENCH_FETCH_SALT", "4").toInt,
+      // round-state checkpoint storage (CrawlConfig.stateStorage): "ser"
+      // bounds the heap so the 80k-host rounds survive the 10 g child
+      stateStorage = env("SPARK_GRAFT_BENCH_STATE_STORAGE", "ser"),
       // bucket count FIXED across levels (identical partition assignment =
       // identical outputs at N and 4N; the check is count equality)
       numBuckets = 64, maxUrlsPerHost = 500)

@@ -252,9 +252,9 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       // materialize next-round state eagerly — the three checkpoints are
       // independent, so run them as concurrent jobs (and concurrently with
       // the previous round's still-flushing writes)
-      val frontierCkF = inPool("critical")(res.frontier.localCheckpoint())
-      val ipCkF = inPool("critical")(res.ipState.localCheckpoint())
-      val phashDeltaCkF = inPool("critical")(res.phashSeenDelta.localCheckpoint())
+      val frontierCkF = inPool("critical")(CrawlRound.stateCk(cfg)(res.frontier))
+      val ipCkF = inPool("critical")(CrawlRound.stateCk(cfg)(res.ipState))
+      val phashDeltaCkF = inPool("critical")(CrawlRound.stateCk(cfg)(res.phashSeenDelta))
       val frontierCk = Await.result(frontierCkF, Duration.Inf)
       val ipCk = Await.result(ipCkF, Duration.Inf)
       val phashDeltaCk = Await.result(phashDeltaCkF, Duration.Inf)
@@ -393,14 +393,18 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
 object CrawlDriver {
   /** FAIR-scheduler pool config for the round loop's two lanes (see
     * [[CrawlDriver.inPool]]): critical-path jobs outweigh commit-lane jobs
-    * 2:1 so next-round state never queues behind a payload write. Shared by
-    * Bench and CrawlMain session builders. */
+    * so next-round state never queues behind a payload write. Weight and
+    * minShare tunable via SPARK_GRAFT_POOL_WEIGHT/SPARK_GRAFT_POOL_MINSHARE
+    * (critical pool; commits stays 1/0). Shared by Bench and CrawlMain
+    * session builders. */
   lazy val fairPoolsXml: String = {
+    val w = sys.env.getOrElse("SPARK_GRAFT_POOL_WEIGHT", "2").toInt
+    val ms = sys.env.getOrElse("SPARK_GRAFT_POOL_MINSHARE", "4").toInt
     val xml =
-      """<?xml version="1.0"?>
+      s"""<?xml version="1.0"?>
         |<allocations>
         |  <pool name="critical">
-        |    <schedulingMode>FIFO</schedulingMode><weight>2</weight><minShare>4</minShare>
+        |    <schedulingMode>FIFO</schedulingMode><weight>$w</weight><minShare>$ms</minShare>
         |  </pool>
         |  <pool name="commits">
         |    <schedulingMode>FIFO</schedulingMode><weight>1</weight><minShare>0</minShare>

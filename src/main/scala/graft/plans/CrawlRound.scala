@@ -45,6 +45,21 @@ final case class RoundResult(
   */
 object CrawlRound {
 
+  /** Eager checkpoint for per-round state at the configured storage level —
+    * a drop-in for `.localCheckpoint()` via `.transform(stateCk(cfg))`.
+    * "memory" is the r4 behavior; "ser"/"disk" trade re-read speed for a
+    * bounded heap so 2x-size rounds fit the capped bench JVM (see
+    * [[graft.CrawlConfig.stateStorage]]). */
+  private[graft] def stateCk(cfg: CrawlConfig)(df: DataFrame): DataFrame =
+    cfg.stateStorage match {
+      case "memory" => df.localCheckpoint()
+      case "ser" =>
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      case "disk" =>
+        df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case other => throw new IllegalArgumentException(s"stateStorage: $other")
+    }
+
   /** Build HostState rows for newly discovered hosts: synthetic DNS resolve
     * (≙ workers/dns_resolving.clj:26-68) + a robots.txt fetch run through the
     * REAL parser ([[Robots.parse]] ≙ util/robots.clj:16-56) — the production
@@ -109,7 +124,7 @@ object CrawlRound {
     import spark.implicits._
     val seeds = canonicalizedUrls(seedUrls)
       .select("url", "url_hash", "host", "path_query")
-      .localCheckpoint()
+      .transform(stateCk(cfg))
     val fifo = Window.partitionBy(col("host")).orderBy(col("url_hash"))
     val hostState = discoverHosts(spark, seeds.select("host").distinct(), web, cfg, 0L)
     // seeds obey robots too (the reference leaves this as a TODO —
@@ -217,7 +232,7 @@ object CrawlRound {
     // on) the round's critical path
     val fetched = Fetch.attachPhash(
       Fetch.attempt(dequeued, web, cfg, ts, serveHtml = ex.needsBody),
-      corpusWithIdx, bCorpus).localCheckpoint()
+      corpusWithIdx, bCorpus).transform(stateCk(cfg))
     phase("fetch")
 
     // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
@@ -245,7 +260,7 @@ object CrawlRound {
         .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
       .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
       .select("url_hash", "phash_dup")
-      .localCheckpoint())
+      .transform(stateCk(cfg)))
 
     // ---- link extraction + canonicalization (X1, X2) ----
     // extractors that ignore the payload never pull bytes into this stage.
@@ -289,7 +304,7 @@ object CrawlRound {
     // checkpoint: the extract + dedupe chain over ~degree×pages links is the
     // most expensive stage of a round — without this both the sieve job and
     // the metrics job recompute it from scratch
-    val batch = SeenSet.dedupeBatch(rawLinks).localCheckpoint()
+    val batch = SeenSet.dedupeBatch(rawLinks).transform(stateCk(cfg))
     phase("links")
     val phFlags = Await.result(phFlagsF, Duration.Inf)
     phase("phflags")
@@ -333,7 +348,7 @@ object CrawlRound {
     val parsed = fresh0.withColumn("__hp", splitUdf(col("url")))
       .select(col("url"), col("url_hash"),
         col("__hp._1").as("host"), col("__hp._2").as("path_query"))
-      .localCheckpoint()
+      .transform(stateCk(cfg))
     phase("sieve")
 
     // ---- host discovery: DNS + robots for unknown hosts (N1, X6) ----
@@ -360,7 +375,7 @@ object CrawlRound {
       if (dimsBroadcastable && names.length <= cap) {
         import spark.implicits._
         spark.createDataset(names.sorted.toSeq.map(h => hostStateFor(h, web, cfg, ts))).toDF()
-      } else discoverHosts(spark, newHostNames, web, cfg, ts).localCheckpoint()
+      } else discoverHosts(spark, newHostNames, web, cfg, ts).transform(stateCk(cfg))
     }
     phase("hosts")
 
@@ -408,7 +423,7 @@ object CrawlRound {
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
         lit(0).as("priority"), lit(roundIdx).as("round_added"),
         Scheduler.bucketCol(cfg).as("fb"))
-      .localCheckpoint()
+      .transform(stateCk(cfg))
     phase("admit")
 
     // ---- host state update (P3, P4, G2, F6, N2, N3) ----
@@ -490,7 +505,7 @@ object CrawlRound {
         urlDrop.as("__dropped"),
         (col("__new") || hadOk || hadErr || col("new_cnt").isNotNull || staleDns)
           .as("__changed"))
-      .localCheckpoint()
+      .transform(stateCk(cfg))
     phase("hoststate")
     val hostStateNew = hostStateFull.drop("__dropped", "__changed")
     val hostDelta = hostStateFull.filter(col("__changed")).drop("__dropped", "__changed")

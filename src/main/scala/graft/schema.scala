@@ -128,6 +128,14 @@ final case class CrawlConfig(
     // unsalted layout. Outputs are bit-identical either way (partitioning is
     // physical only — every rank/dedup downstream keys on logical columns).
     fetchSaltParts: Int = 1,
+    // storage level for the eager per-round state checkpoints: "memory"
+    // (MEMORY_AND_DISK deserialized — fastest, but deserialized row objects
+    // cost 3-5x their serialized size in heap and are freed only when the
+    // GC-driven ContextCleaner gets to them), "ser" (MEMORY_AND_DISK_SER —
+    // compact on-heap bytes, spills), "disk" (DISK_ONLY — near-zero heap).
+    // Bigger rounds on a bounded heap want "ser"/"disk": the 2x-round-size
+    // scaling probe GC-thrashed at 10 g under "memory".
+    stateStorage: String = "memory",
     verifySample: Int = 1,       // decode-verify every Nth fetch (1 = all)
     // synthetic web shape (≙ BUbiNG graph-server protocol, README.md:38-41)
     numHosts: Int = 64,

@@ -132,6 +132,11 @@ class CrawlSpec extends AnyFunSuite {
     val (p4, s4) = runFull(cfg.copy(fetchSaltParts = 4))
     assert(p1 == p4, "fetch salt changed the pages output")
     assert(s1 == s4, "fetch salt changed the seen set")
+    // stateStorage picks only the checkpoint block storage level (ser/disk
+    // bound the heap for 2x-size bench rounds) — never values
+    val (pd, sd) = runFull(cfg.copy(stateStorage = "disk", fetchSaltParts = 4))
+    assert(p1 == pd, "disk state storage changed the pages output")
+    assert(s1 == sd, "disk state storage changed the seen set")
   }
 
   test("state-format trust gate: resume recomputes fb from an old-format workdir") {
