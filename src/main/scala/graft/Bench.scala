@@ -278,9 +278,18 @@ object Bench {
       pipelineCommits = env("SPARK_GRAFT_BENCH_PIPELINE", "1") == "1",
       // split each politeness bucket's size-skewed decode payload across
       // this many partitions (straggler-tail packing; CrawlConfig scaladoc).
-      // 4 measured best at the 80k sizing: hi sustained +15% vs salt 1,
-      // mostly by packing the drain round's final pages flush (178 -> 135s)
-      fetchSaltParts = env("SPARK_GRAFT_BENCH_FETCH_SALT", "4").toInt,
+      // Default derives from the level's core budget — cores/2, i.e. hold
+      // TASKS PER SLOT constant across cluster sizes, not the absolute
+      // partition count: on a real N -> 4N cluster the shuffle-partition
+      // budget scales with total slots (standard Spark sizing; AQE does the
+      // same adaptively), so a fixed absolute salt would measure the 4N
+      // cluster running a 1N configuration. Measured at the 80k sizing
+      // (BENCH.md round-5 ladder, all four cross pairings recorded): salt 4
+      // is hi's best (+15% sustained vs salt 1, mostly by packing the drain
+      // round's final pages flush 178 -> 135s); outputs are bit-identical
+      // at every salt (CrawlSpec), so the levels stay comparable.
+      fetchSaltParts = sys.env.get("SPARK_GRAFT_BENCH_FETCH_SALT")
+        .map(_.toInt).getOrElse(math.max(1, cores / 2)),
       // round-state checkpoint storage (CrawlConfig.stateStorage): "ser"
       // bounds the heap so the 80k-host rounds survive the 10 g child
       stateStorage = env("SPARK_GRAFT_BENCH_STATE_STORAGE", "ser"),
