@@ -308,8 +308,14 @@ object Bench {
     // once into a cache and copy (setup cost, excluded from timing anyway;
     // this just keeps multi-trial benches inside the wall-clock budget)
     locally {
-      val cacheName =
-        s"graft_bench_corpus_v${SynthWeb.corpusFormatVersion}_${cfg.hashCode.toHexString}"
+      // key on exactly the fields the corpus content reads (seed, size,
+      // imageSize) — NOT cfg.hashCode: since fetchSaltParts derives from the
+      // level's core budget, a whole-config key differs between the hi and
+      // lo levels and the eviction loop below would delete the other level's
+      // cache on every H,L,H,... trial alternation, rebuilding the corpus
+      // each trial (untimed, but minutes of wall per canonical run)
+      val cacheName = s"graft_bench_corpus_v${SynthWeb.corpusFormatVersion}_" +
+        (cfg.seed, cfg.corpusSize, cfg.imageSize).hashCode.toHexString
       val cache = base.resolve(cacheName)
       // evict caches of other configs/versions — each is tens of MB and they
       // accumulate across knob changes (ADVICE r2: bound tmpfs use)

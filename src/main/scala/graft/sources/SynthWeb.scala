@@ -174,8 +174,8 @@ object SynthWeb {
   }
 
   /** Bump when the GENERATION CODE of [[corpus]]/[[corpusRow]] changes —
-    * cross-run corpus caches (Bench) key on (this, cfg.hashCode); a code
-    * change without a version bump would silently serve stale rows. */
+    * cross-run corpus caches (Bench) key on (this, seed/corpusSize/imageSize);
+    * a code change without a version bump would silently serve stale rows. */
   val corpusFormatVersion = 1
 
   /** Distributed corpus generation — the input-side "Iceberg table of image +
