@@ -116,26 +116,52 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
+    // r6 shape (guide §2.3 "aggregate before you shuffle" + §3.1): the
+    // shipdate filter keeps ~2% of lineitem, so revenue per order is
+    // pre-aggregated BELOW the joins — the r5 plan built a broadcast of the
+    // ENTIRE orders table (its biggest single cost) and re-aggregated the
+    // full join output. Now orders streams once, probing two small builds
+    // (BUILDING customers; the filtered+aggregated lineitem side), and no
+    // post-join aggregation exchange exists at all. Revenue groups are
+    // unchanged: o_orderkey is unique in orders, so per-order lineitem sums
+    // are the same multisets. At 100 TB the lAgg broadcast degrades to a
+    // shuffle join past the broadcast cut (AQE decides from runtime sizes).
     "q03_top_orders" -> { (s, d) =>
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, d, "orders")
-      val l = t(s, d, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .select(col("o_orderkey"), col("revenue"), expr("unix_micros(cast(o_orderdate as timestamp))").as("odate"))
+        .select("c_custkey")
+      val o = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val lAgg = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_raw"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(lAgg), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), round(col("rev_raw"), 2).as("revenue"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("odate"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     },
 
+    // r6 shape (guide §3.1/§3.3 join ordering): dimensions join INWARD first
+    // (region -> nation -> customer -> orders), each ~5x smaller than the
+    // r5 build sides — the old plan broadcast the ENTIRE orders (150k rows)
+    // and customer tables; now the builds are ASIA customers (~1/5 of
+    // customer, 2 narrow columns) and ASIA orders (~1/5 of orders, 2
+    // columns). lineitem streams once straight into the map-side partial
+    // aggregation; the only exchange left is 5 n_name groups. Same inner
+    // equi-joins, reassociated — row multisets per nation are unchanged. At
+    // 100 TB the two broadcasts degrade to shuffle joins past the cut.
     "q05_region_revenue" -> { (s, d) =>
       val r = t(s, d, "region").filter(col("r_name") === "ASIA")
       val n = t(s, d, "nation")
       val dims = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey")))
-      t(s, d, "lineitem")
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      val cAsia = t(s, d, "customer").select("c_custkey", "c_nationkey")
         .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val oAsia = t(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(broadcast(cAsia), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name"))
+      t(s, d, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(broadcast(oAsia), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     },
@@ -179,21 +205,37 @@ object SparkEntry {
         .groupBy("user_id").agg(count(lit(1)).as("n_kept"))
     },
 
-    // the sieve (D3 shape): candidates anti-join seen
+    // the sieve (D3 shape): candidates anti-join seen. r6: both sides derive
+    // from the SAME events scan, so the two distinct+anti-join shuffles fuse
+    // into one aggregation — one scan, one exchange (with map-side partial
+    // agg), zero joins (guide §2.3/§2.4); result set is identical: distinct
+    // keys with >= 1 view and 0 clicks. The engine's real sieve
+    // (SeenSet.antiJoin, separate seen table) keeps the anti-join shape.
     "q_sieve_antijoin" -> { (s, d) =>
-      val e = t(s, d, "events")
       val key = (col("user_id") * 100 + col("event_id") % 100).as("url_key")
-      val cand = e.filter(col("event_type") === "view").select(key).distinct()
-      val seen = e.filter(col("event_type") === "click").select(key).distinct()
-      cand.join(seen, Seq("url_key"), "left_anti")
+      t(s, d, "events")
+        .filter(col("event_type").isin("view", "click"))
+        .select(key, col("event_type"))
+        .groupBy("url_key")
+        .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("__v"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("__c"))
+        .filter(col("__v") === 1 && col("__c") === 0)
+        .select("url_key")
     },
 
-    // frontier expansion (3-round BFS with per-round sieve, ≙ CrawlRound)
+    // frontier expansion (3-round BFS with per-round sieve, ≙ CrawlRound).
+    // r6: each round's frontier is localCheckpoint'd — exactly what the real
+    // engine does between rounds (CrawlRound.stateCk). Without the cut, the
+    // loop's lazy lineage re-derived every prior round inside each anti-join
+    // side: the r5 plan carried FIFTY Exchange nodes; checkpointing leaves
+    // one distinct + one anti-join per round, and AQE picks the join
+    // strategy from the materialized (known) sizes.
     "q_bfs_frontier" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val n = docs.count()
       var frontier = docs.filter(col("doc_id") < 5)
         .select(col("doc_id").as("id")).withColumn("r", lit(0L))
+        .localCheckpoint()
       var seenAll = frontier
       for (r <- 1 to 3) {
         val next = frontier
@@ -201,6 +243,7 @@ object SparkEntry {
           .distinct()
           .join(seenAll.select("id"), Seq("id"), "left_anti")
           .withColumn("r", lit(r.toLong))
+          .localCheckpoint()
         seenAll = seenAll.unionByName(next)
         frontier = next
       }

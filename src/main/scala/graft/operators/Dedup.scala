@@ -74,18 +74,27 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int, thresholdPct: Int, maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleHashes(df, textCol, idCol, k).cache()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    // ONE linear pipeline, r6 shape (guide §2.4): the r5 plan cached the
+    // shingle set, aggregated per-doc sizes SEPARATELY (twice — once per
+    // join side, EXPLAIN showed two identical Exchange+HashAggregate
+    // subtrees feeding two BroadcastExchanges) and joined them back onto the
+    // pair table. Sizes now ride the pair emission as struct fields, so the
+    // whole operator is cache-free and join-free: W(id) -> W(sh) -> grouped
+    // pair-emit -> pair aggregate — 3 exchanges total (was 3 + 2 size
+    // aggregates + 2 broadcast builds + an eager cache materialization).
+    val sh = shingleHashes(df, textCol, idCol, k)
+    // per-doc shingle-set size via a window over the id partition (group
+    // size = shingles per document — bounded by document length, sort-based
+    // and spill-safe); saves the separate groupBy(id) aggregate + join-back
+    val withSz = sh.withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
     // df via a window over the shingle partition (not agg + join-back): one
     // shuffle, sort-based and spill-safe even on a web-scale hot shingle.
     // The dropped-row telemetry rides the pipeline as a NAMED observation
     // logged by a QueryExecutionListener when the caller's action runs —
     // nothing here blocks or materializes, the plan is fully lazy
-    // (ADVICE r4; replaces the r4 eager localCheckpoint, which a capped-JVM
-    // quiet measurement priced at ~1.2 s/run at sf0.1 — more than the
-    // duplicated window it avoided).
+    // (ADVICE r4).
     val rare = observeLogged(
-      sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh")))),
+      withSz.withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh")))),
       s"jaccard maxDf=$maxDf",
       sum(when(col("df") > maxDf, lit(1L)).otherwise(lit(0L))).as("dropped_shingle_rows"),
       count(lit(1)).as("of"))
@@ -94,19 +103,19 @@ object Dedup {
     // (post-filter, so every group is <= maxDf elements — the collect_list
     // buffer is bounded; ubiquitous shingles never reach it) and emit the
     // ordered pairs directly. The groupBy reuses the window's sh
-    // partitioning (no exchange), where the r2-r4 self-join recomputed the
-    // whole shuffle+sort pipeline for its second side (EXPLAIN: two full
-    // Window+Sort+Exchange subtrees, zero ReusedExchange).
-    val common = rare
-      .groupBy(col("sh")).agg(sort_array(collect_list(col(idCol))).as("ids"))
+    // partitioning (no exchange). sort_array on struct(id, sz) orders by the
+    // (unique-per-shingle) id first, so pair order is identical to the r5
+    // id-only sort; sz is constant per id, so min() below is exact.
+    rare
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sz")))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> named_struct('id_a', x, 'id_b', y))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+          "y -> named_struct('id_a', x.id, 'sz_a', x.sz, 'id_b', y.id, 'sz_b', y.sz))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("common"), min("sz_a").as("sz_a"), min("sz_b").as("sz_b"))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("common"))
       // integer cross-multiplied threshold: common/union >= pct/100
       .filter(col("common") * 100 >= col("union_sz") * thresholdPct)
@@ -191,8 +200,22 @@ object Dedup {
     val keyed = df.select(col(idCol), col(phashCol),
       explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col(phashCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
-    val l = keyed.select(col(idCol).as("id_a"), col(phashCol).as("ph_a"), col("band"), col("bandkey"))
-    val r = keyed.select(col(idCol).as("id_b"), col(phashCol).as("ph_b"), col("band"), col("bandkey"))
+    // r6: [[materialize]] the NARROW keyed frame once before the self-join.
+    // The r5 plan fed both join sides the raw input, so the phash derivation
+    // ran 4x (filter + project, per side) — when the caller derives the
+    // phash from an expensive expression (q_phash_neardup: a per-char
+    // document fingerprint) that recompute dominated the query. The
+    // checkpointed frame is (id, ph, band, bandkey) — 28 B/row, computed in
+    // one pass; both sides then read the materialized blocks. Pair
+    // formation stays a codegen'd hash/sort-merge join: a grouped
+    // pair-emit (the jaccard r5 shape) was tried and REJECTED here — with
+    // no df-style cap a hot band bucket (q_phash_neardup's band 3 holds
+    // every row) put the whole O(bucket^2) emission in ONE task of
+    // interpreted nested-HOF struct copying, measured 10.7 s vs the join's
+    // sub-second parallel probe.
+    val keyedM = materialize(keyed)
+    val l = keyedM.select(col(idCol).as("id_a"), col(phashCol).as("ph_a"), col("band"), col("bandkey"))
+    val r = keyedM.select(col(idCol).as("id_b"), col(phashCol).as("ph_b"), col("band"), col("bandkey"))
     l.join(r, Seq("band", "bandkey")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
       .withColumn("dist", expr("bit_count(ph_a ^ ph_b)"))

@@ -32,7 +32,8 @@ final case class RoundResult(
     hostDelta: DataFrame,   // host rows whose state changed this round
     ipDelta: DataFrame,     // ip rows whose politeness clock changed
     links: DataFrame,       // deduped extracted links (checkpointed; metrics)
-    cached: Seq[DataFrame]) // intermediates to unpersist after commit
+    cached: Seq[DataFrame], // intermediates to unpersist after commit
+    obs: CrawlRound.RoundObs) // metric observations riding the checkpoints
 
 /** One crawl round as a single deterministic Dataset pipeline (north rule):
   * frontier dequeue by politeness window rank → fetch (corpus join) → link
@@ -44,6 +45,21 @@ final case class RoundResult(
   * logical clock `ts = round * tick`, `xxhash64` tie-breaks everywhere.
   */
 object CrawlRound {
+
+  /** The round's metric values, observed on the checkpoint actions the round
+    * ALREADY runs instead of dedicated aggregate jobs (r6, VERDICT r5 #1:
+    * the driver's metrics block was 5 extra serial-latency jobs per round —
+    * plan+schedule+barrier cost that capped wide-level scaling; the counts
+    * ride the existing actions for free via the same non-blocking
+    * Observation machinery Dedup uses). Every observation fires when its
+    * host DataFrame is checkpointed inside [[run]] (or, for `frontier`, by
+    * the driver's stateCk), so the driver's reads never block. */
+  final case class RoundObs(
+      fetch: org.apache.spark.sql.Observation,    // dequeued, errs, ok
+      hosts: org.apache.spark.sql.Observation,    // hosts, dead, active
+      admitted: org.apache.spark.sql.Observation, // seen-delta count
+      links: org.apache.spark.sql.Observation,    // extracted-link count
+      frontier: org.apache.spark.sql.Observation) // next-round frontier count
 
   /** Eager checkpoint for per-round state at the configured storage level —
     * a drop-in for `.localCheckpoint()` via `.transform(stateCk(cfg))`.
@@ -230,9 +246,16 @@ object CrawlRound {
     // and its decode verification attach inside the asynchronous pages
     // write, so megabytes per row never ride (or occupy checkpoint memory
     // on) the round's critical path
+    // metric observations ride the checkpoint actions below (RoundObs):
+    // CollectMetrics folds into the same pass the checkpoint already makes
+    val fetchObs = org.apache.spark.sql.Observation()
     val fetched = Fetch.attachPhash(
       Fetch.attempt(dequeued, web, cfg, ts, serveHtml = ex.needsBody),
-      corpusWithIdx, bCorpus).transform(stateCk(cfg))
+      corpusWithIdx, bCorpus)
+      .observe(fetchObs, count(lit(1)).as("dequeued"),
+        sum(when(col("status") === -1, 1L).otherwise(0L)).as("errs"),
+        sum(when(col("status") === 200, 1L).otherwise(0L)).as("ok"))
+      .transform(stateCk(cfg))
     phase("fetch")
 
     // pages + phash content dedupe (north rule: "dedupe via phash + cuckoo
@@ -254,13 +277,21 @@ object CrawlRound {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val phFlagsF = Future(okMeta.select("url_hash", "phash")
-      .withColumn("phash_rn", row_number().over(phashW))
-      .join(state.phashSeen.select(col("phash")).distinct()
-        .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
-      .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
-      .select("url_hash", "phash_dup")
-      .transform(stateCk(cfg)))
+    // pool-tagged like CrawlDriver.inPool (VERDICT r5 "What's wrong #3"):
+    // without the tag this concurrent checkpoint lands in the DEFAULT fair
+    // pool and can queue behind commit-lane payload writes — exactly the
+    // priority inversion the two-lane design exists to prevent
+    val phFlagsF = Future {
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", "critical")
+      try okMeta.select("url_hash", "phash")
+        .withColumn("phash_rn", row_number().over(phashW))
+        .join(state.phashSeen.select(col("phash")).distinct()
+          .withColumn("ph_seen", lit(true)), Seq("phash"), "left")
+        .withColumn("phash_dup", col("phash_rn") > 1 || col("ph_seen").isNotNull)
+        .select("url_hash", "phash_dup")
+        .transform(stateCk(cfg))
+      finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    }
 
     // ---- link extraction + canonicalization (X1, X2) ----
     // extractors that ignore the payload never pull bytes into this stage.
@@ -304,7 +335,10 @@ object CrawlRound {
     // checkpoint: the extract + dedupe chain over ~degree×pages links is the
     // most expensive stage of a round — without this both the sieve job and
     // the metrics job recompute it from scratch
-    val batch = SeenSet.dedupeBatch(rawLinks).transform(stateCk(cfg))
+    val linksObs = org.apache.spark.sql.Observation()
+    val batch = SeenSet.dedupeBatch(rawLinks)
+      .observe(linksObs, count(lit(1)).as("links"))
+      .transform(stateCk(cfg))
     phase("links")
     val phFlags = Await.result(phFlagsF, Duration.Inf)
     phase("phflags")
@@ -416,6 +450,7 @@ object CrawlRound {
     // per host across rounds (SURVEY.md §7 hard part 3); 24 bits of in-round
     // rank is ample under the per-host cap.
     val capW = Window.partitionBy(col("host")).orderBy(col("url_hash"))
+    val admittedObs = org.apache.spark.sql.Observation()
     val newRows = preCapped
       .withColumn("rn", row_number().over(capW))
       .filter(col("rn") + col("enqueued_count") <= lit(cfg.maxUrlsPerHost))
@@ -423,6 +458,7 @@ object CrawlRound {
         (lit((roundIdx.toLong + 1L) << 24) + col("rn")).as("seq_no"),
         lit(0).as("priority"), lit(roundIdx).as("round_added"),
         Scheduler.bucketCol(cfg).as("fb"))
+      .observe(admittedObs, count(lit(1)).as("admitted"))
       .transform(stateCk(cfg))
     phase("admit")
 
@@ -433,7 +469,12 @@ object CrawlRound {
     // min_by over the unique url_hash (rows with a null candidate carry a
     // null ordering key, which min_by skips) gives a total-order choice
     // that keeps the bit-identity contract under ANY fetch implementation.
+    // fetch_cnt feeds the hosts_active observation below: a host row exists
+    // here iff the host had >= 1 fetched URL this round (any status), so
+    // summing its presence over the host-state update equals the old
+    // countDistinct(host) metric job over `fetched`
     val hostOutcome = fetched.groupBy(col("host")).agg(
+      count(lit(1)).as("fetch_cnt"),
       sum(when(col("status") === 200, 1).otherwise(0)).as("ok_cnt"),
       sum(when(col("status") === -1, 1).otherwise(0)).as("err_cnt"),
       min_by(col("error"), when(col("error").isNotNull, col("url_hash"))).as("err"),
@@ -494,6 +535,7 @@ object CrawlRound {
     // single select so every new column is computed from the OLD row
     // (chained withColumn would let statusNew observe the updated retries);
     // __dropped is round-internal: which hosts' errored URLs leave the frontier
+    val hostObs = org.apache.spark.sql.Observation()
     val hostStateFull = allHosts
       .select(col("host"), ipNew.as("ip"), resolvedAtNew.as("resolved_at"),
         col("bucket"), col("broken"),
@@ -504,11 +546,16 @@ object CrawlRound {
         cookiesNew.as("cookies"),
         urlDrop.as("__dropped"),
         (col("__new") || hadOk || hadErr || col("new_cnt").isNotNull || staleDns)
-          .as("__changed"))
+          .as("__changed"),
+        col("fetch_cnt").isNotNull.as("__active"))
+      .observe(hostObs, count(lit(1)).as("hosts"),
+        sum(when(col("status") === "dead", 1L).otherwise(0L)).as("dead"),
+        sum(when(col("__active"), 1L).otherwise(0L)).as("active"))
       .transform(stateCk(cfg))
     phase("hoststate")
-    val hostStateNew = hostStateFull.drop("__dropped", "__changed")
-    val hostDelta = hostStateFull.filter(col("__changed")).drop("__dropped", "__changed")
+    val hostStateNew = hostStateFull.drop("__dropped", "__changed", "__active")
+    val hostDelta = hostStateFull.filter(col("__changed"))
+      .drop("__dropped", "__changed", "__active")
 
     // ---- ip politeness stamp (P3) ----
     // read ips from the cached fetch output, not `dequeued` (whose window
@@ -542,10 +589,12 @@ object CrawlRound {
     // to the shuffled anti-join.
     val consumedSide = if (deltasBroadcastable) broadcast(consumed) else consumed
     val deadSide = if (deltasBroadcastable) broadcast(deadHosts) else deadHosts
+    val frontierObs = org.apache.spark.sql.Observation()
     val frontierNew = state.frontier
       .join(consumedSide, Seq("url_hash"), "left_anti")
       .join(deadSide, Seq("host"), "left_anti")
       .unionByName(newRows)
+      .observe(frontierObs, count(lit(1)).as("frontier"))
 
     val seenDelta = newRows.select(col("url_hash"), col("url"))
 
@@ -553,6 +602,7 @@ object CrawlRound {
       phashSeenDelta,
       frontierAdd = newRows, frontierDel = consumed,
       hostDelta = hostDelta, ipDelta = ipDelta, links = batch,
-      cached = Seq(fetched, newHosts, newRows, hostStateNew))
+      cached = Seq(fetched, newHosts, newRows, hostStateNew),
+      obs = RoundObs(fetchObs, hostObs, admittedObs, linksObs, frontierObs))
   }
 }
