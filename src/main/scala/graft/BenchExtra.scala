@@ -35,6 +35,10 @@ object BenchExtra {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable-checkpoint hygiene (ADVICE r5): without this, Dedup's
+      // materialize() leaves its checkpoint data behind forever when a
+      // checkpoint dir is configured
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", "/tmp/spark_local_extra")
       .getOrCreate()

@@ -34,6 +34,10 @@ object CrawlMain {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
+      // reliable-checkpoint hygiene (ADVICE r5): without this, Dedup's
+      // materialize() leaves its checkpoint data behind forever when a
+      // checkpoint dir is configured
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
       // two-lane FAIR scheduling (critical path vs commit lane — see
       // CrawlDriver.inPool); without the pool file unknown pools degrade to

@@ -16,6 +16,10 @@ object ScaleProbe {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       .config("spark.sql.files.maxPartitionBytes", "16m")
+      // reliable-checkpoint hygiene (ADVICE r5): without this, Dedup's
+      // materialize() leaves its checkpoint data behind forever when a
+      // checkpoint dir is configured
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.contains("SPARK_GRAFT_PROFILE")) {

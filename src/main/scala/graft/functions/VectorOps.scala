@@ -126,15 +126,19 @@ case class SignBands(child: Expression, bands: Int, rowsPerBand: Int)
 
   // weight matrix memo, plane-major ([p * dim + i]); embeddings have one
   // dim per table, so a single-entry memo hits every row after the first.
-  // Benign race: concurrent builds produce identical arrays.
-  @transient private var memoDim: Int = -1
-  @transient private var memoW: Array[Double] = _
+  // ONE immutable (dim, weights) pair behind a single @volatile field
+  // (ADVICE r5): the old two-field memo (memoW then memoDim, non-volatile)
+  // could pair a fresh dim with another dim's array under a shared-instance
+  // race on ragged-dim input — silently wrong band keys. Publishing the
+  // tuple atomically makes the race benign again (concurrent builds
+  // produce identical arrays; last write wins).
+  @transient @volatile private var memo: (Int, Array[Double]) = _
 
   /** Static plane-weight matrix for vectors of `dim` elements (public to
     * the generated code via addReferenceObj). */
   def weights(dim: Int): Array[Double] = {
-    val m = memoW
-    if (memoDim == dim && m != null) return m
+    val m = memo
+    if (m != null && m._1 == dim) return m._2
     val np = bands * rowsPerBand
     val w = new Array[Double](np * dim)
     var p = 0
@@ -146,8 +150,7 @@ case class SignBands(child: Expression, bands: Int, rowsPerBand: Int)
       }
       p += 1
     }
-    memoW = w
-    memoDim = dim
+    memo = (dim, w)
     w
   }
 

@@ -34,7 +34,11 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
-  /** (id, shingle_hash) pairs — distinct word-k-gram hashes per document.
+  /** (id, __arr) — the distinct word-k-gram hash ARRAY per document (the
+    * pre-explode form of [[shingleHashes]]; r6). Keeping the set as one
+    * array column lets per-document reductions (minhash mins, simhash bit
+    * sums, the jaccard set size) run as per-row folds in the scan stage —
+    * zero exchanges — instead of explode + shuffle + re-aggregate.
     * Shingle hash = fold of (a*31 + wordHash) mod P over the k words.
     *
     * Words are hashed ONCE into an array column first; the shingle fold then
@@ -42,8 +46,11 @@ object Dedup {
     * would re-split the text per shingle inside the lambda (no CSE across
     * higher-order boundaries) — O(words²) string work per document, which
     * dominated this operator's runtime. Same values either way, so the
-    * oracle is unchanged. */
-  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    * oracle is unchanged. (The two-step projection also matters: `__wh` and
+    * `__arr` are expensive aliases referenced more than once downstream, so
+    * CollapseProject keeps each in its own Project — evaluated once per row,
+    * never inlined per consumer.) */
+  def shingleArray(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     val wh = TextAnalysis.wordHashSqlSpark("w")
     // guard: sequence(1, 0) would be DESCENDING in Spark, so emit an empty
     // array for documents shorter than k words
@@ -55,9 +62,23 @@ object Dedup {
          |           cast(0 as bigint), (a, x) -> (a * 31 + x) % $P))
          |else cast(array() as array<bigint>) end""".stripMargin
     df.select(col(idCol), expr(s"transform(split($textCol, ' '), w -> $wh)").as("__wh"))
-      .select(col(idCol), explode_outer(array_distinct(expr(sh))).as("sh"))
-      .filter(col("sh").isNotNull)
+      .select(col(idCol), array_distinct(expr(sh)).as("__arr"))
   }
+
+  /** (id, shingle_hash) pairs — distinct word-k-gram hashes per document
+    * (the exploded form of [[shingleArray]]).
+    *
+    * explode_OUTER + isNotNull, NOT plain explode: for an inner explode the
+    * optimizer infers a `size(arr) > 0` filter and pushes it below the
+    * projections with the WHOLE shingle chain inlined — the full per-char
+    * word-hash fold re-evaluated per row inside a Filter (measured 0.75 s ->
+    * 18.6 s on q_minhash_sig at sf0.1 when an inner explode slipped in).
+    * The outer form infers nothing; the cheap null filter on the exploded
+    * value drops empty-shingle documents identically. */
+  def shingleHashes(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    shingleArray(df, textCol, idCol, k)
+      .select(col(idCol), explode_outer(col("__arr")).as("sh"))
+      .filter(col("sh").isNotNull)
 
   /** Near-dup pairs by word-shingle Jaccard >= thresholdPct/100, via an
     * inverted-index self-join (the scalable formulation: pairs only form on
@@ -79,14 +100,19 @@ object Dedup {
     // join side, EXPLAIN showed two identical Exchange+HashAggregate
     // subtrees feeding two BroadcastExchanges) and joined them back onto the
     // pair table. Sizes now ride the pair emission as struct fields, so the
-    // whole operator is cache-free and join-free: W(id) -> W(sh) -> grouped
-    // pair-emit -> pair aggregate — 3 exchanges total (was 3 + 2 size
+    // whole operator is cache-free and join-free: W(sh) -> grouped
+    // pair-emit -> pair aggregate — 2 exchanges total (was 3 + 2 size
     // aggregates + 2 broadcast builds + an eager cache materialization).
-    val sh = shingleHashes(df, textCol, idCol, k)
-    // per-doc shingle-set size via a window over the id partition (group
-    // size = shingles per document — bounded by document length, sort-based
-    // and spill-safe); saves the separate groupBy(id) aggregate + join-back
-    val withSz = sh.withColumn("sz", count(lit(1)).over(Window.partitionBy(col(idCol))))
+    // per-doc shingle-set size = size of the distinct-shingle array BEFORE
+    // the explode — free in the scan stage, where the r6-interim shape spent
+    // a whole Window.partitionBy(id) exchange+sort re-counting what the
+    // array already knew (guide §2.4: remove shuffles outright). Outer
+    // explode + null filter for the same inferred-filter reason as
+    // [[shingleHashes]].
+    val withSz = shingleArray(df, textCol, idCol, k)
+      .select(col(idCol), size(col("__arr")).cast("long").as("sz"),
+        explode_outer(col("__arr")).as("sh"))
+      .filter(col("sh").isNotNull)
     // df via a window over the shingle partition (not agg + join-back): one
     // shuffle, sort-based and spill-safe even on a web-scale hot shingle.
     // The dropped-row telemetry rides the pipeline as a NAMED observation
@@ -123,7 +149,16 @@ object Dedup {
   }
 
   /** MinHash signature columns m0..m{perms-1}: min over shingles of
-    * (a_j*sh + b_j) mod P with a_j = 2j+1, b_j = 12582917(j+1). */
+    * (a_j*sh + b_j) mod P with a_j = 2j+1, b_j = 12582917(j+1).
+    *
+    * Explode + hash aggregate, deliberately: a per-row `aggregate()` fold
+    * over the shingle array (zero exchanges on paper) was tried in r6 and
+    * REJECTED with measurements — the optimizer pushes a filter carrying
+    * the inlined shingle chain below the projections, and `perms`
+    * interpreted array folds per row lose badly to one codegen'd partial
+    * aggregation (0.75 s -> 18.6 s at sf0.1). The exploded rows are 16 B
+    * each and the partial agg collapses them map-side before the exchange
+    * (guide §2.3: aggregate before you shuffle). */
   def minhashSignature(df: DataFrame, textCol: String, idCol: String,
                        k: Int, perms: Int): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, k)
@@ -151,10 +186,15 @@ object Dedup {
       struct(lit(b).as("band"), expr(key).as("bandkey"))
     }
     val bucketW = Window.partitionBy(col("band"), col("bandkey")).orderBy(col(idCol))
-    // eagerly checkpointed (same contract as ngramJaccardPairs above): the
-    // signature aggregation + bucket window feed both self-join sides from
-    // one computed pass, and the cap's truncation count is observed on that
-    // same pass (one log line per run — no silent caps)
+    // eagerly checkpointed: the signature aggregation + bucket window feed
+    // both self-join sides from one computed pass, and the cap's truncation
+    // count is observed on that same pass (one log line per run — no silent
+    // caps). A lazy shared-exchange variant (drop the checkpoint, let both
+    // sides end in the window's canonical exchange) was tried in r6 and
+    // REJECTED with measurements: the rank-filtered side gets a
+    // WindowGroupLimit pushed below ITS exchange, so the two exchanges stop
+    // being canonically equal, nothing is reused, and the whole signature
+    // pipeline runs twice (1.21 s -> 1.39 s at sf0.1).
     val obs = org.apache.spark.sql.Observation()
     val buckets0 = sig.select(col(idCol),
       explode(array(bandStructs: _*)).as("bb"))
@@ -174,7 +214,9 @@ object Dedup {
   }
 
   /** SimHash fingerprint (nbits wide): bit b set iff the sum over distinct
-    * shingles of (+1 / -1 by shingle-hash bit b) is positive. */
+    * shingles of (+1 / -1 by shingle-hash bit b) is positive.
+    * Explode + codegen'd hash aggregate, for the same measured reason as
+    * [[minhashSignature]] (per-row interpreted folds rejected in r6). */
   def simhash(df: DataFrame, textCol: String, idCol: String,
               k: Int, nbits: Int): DataFrame = {
     val sh = shingleHashes(df, textCol, idCol, k)
@@ -212,7 +254,11 @@ object Dedup {
     // no df-style cap a hot band bucket (q_phash_neardup's band 3 holds
     // every row) put the whole O(bucket^2) emission in ONE task of
     // interpreted nested-HOF struct copying, measured 10.7 s vs the join's
-    // sub-second parallel probe.
+    // sub-second parallel probe. (A checkpoint-free merge-hinted self-join
+    // sharing one explicit repartition was also tried in r6: statistically a
+    // wash here — 1.16 vs 1.18 s at sf0.1 — and the planner materialized
+    // BOTH subtrees rather than reusing the exchange, so the checkpoint's
+    // compute-once guarantee is kept.)
     val keyedM = materialize(keyed)
     val l = keyedM.select(col(idCol).as("id_a"), col(phashCol).as("ph_a"), col("band"), col("bandkey"))
     val r = keyedM.select(col(idCol).as("id_b"), col(phashCol).as("ph_b"), col("band"), col("bandkey"))
@@ -334,7 +380,11 @@ object Dedup {
     * missing #2": executor-local checkpoints make a 1000-executor query
     * unrecoverable). `localCheckpoint()` otherwise (single-box default:
     * no checkpoint dir to write to, and ContextCleaner frees the blocks
-    * when the result plan dies). */
+    * when the result plan dies). NOTE (ADVICE r5): reliable checkpoint data
+    * is only auto-deleted when the session sets
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` — the engine's
+    * own session builders (CrawlMain, CorpusBench, BenchExtra, tests) set
+    * it; sessions that don't should clean their checkpoint dir themselves. */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
@@ -373,6 +423,11 @@ object Dedup {
       graft.functions.VectorOps.signBands(v, tables, rowsPerBand).as("__keys"))
       .withColumn("__norm", norm)
       .select(col(idCol), unit.as("u"), posexplode(col("__keys")).as(Seq("t", "key")))
+    // checkpoint-free variants (shared explicit repartition with a merge or
+    // shuffle-hash hint) were tried in r6 and REJECTED with measurements:
+    // the planner materialized both subtrees instead of reusing the
+    // exchange, and moving the unit-vector payload through the extra
+    // shuffle+sort cost 0.79 s -> 1.01-1.33 s at sf0.1
     val keyedM = materialize(keyed)
     val l = keyedM.select(col(idCol).as("id_a"), col("u").as("u_a"), col("t"), col("key"))
     val r = keyedM.select(col(idCol).as("id_b"), col("u").as("u_b"), col("t"), col("key"))

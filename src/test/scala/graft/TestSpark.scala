@@ -12,6 +12,10 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-checkpoint hygiene (ADVICE r5): without this, Dedup's
+      // materialize() leaves its checkpoint data behind forever when a
+      // checkpoint dir is configured
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
