@@ -206,12 +206,17 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
     // in-round serial job it replaces was one more car on the narrow-stage
     // train that caps wide-level scaling. Same inputs, same values: dequeue
     // output is bit-identical to the in-round computation.
-    def eligFor(hs: DataFrame, round: Int): Option[Array[Int]] =
+    // IP readiness folds into the bucket set (r6, VERDICT r5 #5): one
+    // host->ip semi-join on the O(hosts) dimension prunes cold-IP rounds
+    // the host clock alone cannot; still off the critical path, and sound
+    // (dequeue re-checks both clocks, see Scheduler.eligibleBuckets).
+    def eligFor(hs: DataFrame, ips: DataFrame, round: Int): Option[Array[Int]] =
       if (cfg.pruneColdBuckets)
-        graft.operators.Scheduler.eligibleBuckets(hs, round.toLong * cfg.roundTickMs, cfg)
+        graft.operators.Scheduler.eligibleBuckets(
+          hs, round.toLong * cfg.roundTickMs, cfg, Some(ips))
       else None
     var eligF: Future[Option[Array[Int]]] =
-      inPool("critical")(eligFor(state.hostState, startRound + 1))
+      inPool("critical")(eligFor(state.hostState, state.ipState, startRound + 1))
     var stop = false
     // external stop: a STOP file in the workDir ends the run at the next
     // round boundary (≙ the :ramper/runtime-stop poll, agent.clj:106-117)
@@ -244,10 +249,6 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       // filter insertion overlaps the commit writes; the manifest commit and
       // the next round's dequeue both gate on it
       pendingFilterAdd = inPool("critical")(prefilterStore.addDelta(res.seenDelta))
-      // next round's eligibility rides the metrics window: res.hostState is
-      // already checkpointed inside the round, so this is one tiny O(hosts)
-      // job racing the (independent) metric aggregates below
-      eligF = inPool("critical")(eligFor(res.hostState, round + 1))
 
       // materialize next-round state eagerly — the three checkpoints are
       // independent, so run them as concurrent jobs (and concurrently with
@@ -259,6 +260,10 @@ final class CrawlDriver(spark: SparkSession, cfg: CrawlConfig, val workDir: Stri
       val ipCk = Await.result(ipCkF, Duration.Inf)
       val phashDeltaCk = Await.result(phashDeltaCkF, Duration.Inf)
       phase("stateck")
+      // next round's eligibility rides the commit window: res.hostState and
+      // ipCk are both checkpointed by now, so this is one tiny O(hosts)
+      // job overlapping the (independent) commit writes below
+      eligF = inPool("critical")(eligFor(res.hostState, ipCk, round + 1))
 
       // metrics: observed on the checkpoint actions that already ran inside
       // the round (CrawlRound.RoundObs) — ZERO extra jobs where r5 spent 5

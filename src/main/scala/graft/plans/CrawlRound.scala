@@ -218,7 +218,7 @@ object CrawlRound {
     // unchanged, the steady all-hot-hosts shape).
     val elig = precomputedElig.getOrElse {
       if (cfg.pruneColdBuckets)
-        Scheduler.eligibleBuckets(state.hostState, ts, cfg)
+        Scheduler.eligibleBuckets(state.hostState, ts, cfg, Some(state.ipState))
       else None
     }
     // politeness-domain co-location + bounded skew; fetchSaltParts > 1
