@@ -22,6 +22,44 @@ object Dedup {
 
   import TextAnalysis.P
 
+  /** Scale-adaptive parallelism floor for expensive per-row derivations over
+    * small or unsplittable inputs (guide §2.5 "input skew" / §6 scan
+    * parallelism): a sub-MB parquet table plans as ONE scan split
+    * (`spark.sql.files.openCostInBytes` floors the split size, and a single
+    * row group cannot be range-split anyway), so every downstream per-row
+    * fold — shingle hashing, fingerprints, plane dots — serializes on one
+    * core while the rest of the cluster idles. When the planned parallelism
+    * is below the session default AND the estimated input is tiny (default
+    * <= 64 MB: the whole exchange moves less than one shuffle block per
+    * task), hash-repartition by the row id to the default parallelism —
+    * REPARTITION_BY_NUM, so AQE does not re-coalesce the fan-out. Hash (not
+    * round-robin) keeps the placement deterministic under task retry with no
+    * sort-before-repartition pass. At production scale the condition is never
+    * true (a 100 TB corpus plans millions of splits) and the plan is
+    * unchanged; the byte threshold is conf-overridable
+    * (`spark.graft.fanout.maxBytes`). Results are partitioning-independent
+    * for every caller (pinned by OperatorsSpec). */
+  def fanOutSmall(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxBytes =
+      spark.conf.getOption("spark.graft.fanout.maxBytes").map(_.toLong).getOrElse(64L << 20)
+    // a plan that already shuffles is already fanned out — and, critically,
+    // `df.rdd` under AQE would MATERIALIZE those shuffle stages eagerly at
+    // plan-construction time (AdaptiveSparkPlanExec finalizes the plan
+    // bottom-up), running the upstream work once outside the real action.
+    // On an exchange-free plan `.rdd` only builds the scan RDD (driver-side
+    // file listing, no job), so the partition probe is safe.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
+    if (!hasExchange && df.rdd.getNumPartitions < target) {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= maxBytes) df.repartition(target, col(keyCol)) else df
+    } else df
+  }
+
   /** Exact duplicate removal: canonical representative = min(id) per key.
     *
     * Keyed on md5(text), not text: the aggregate then shuffles 16-byte
@@ -61,7 +99,12 @@ object Dedup {
          |    i -> aggregate(slice(__wh, i, $k),
          |           cast(0 as bigint), (a, x) -> (a * 31 + x) % $P))
          |else cast(array() as array<bigint>) end""".stripMargin
-    df.select(col(idCol), expr(s"transform(split($textCol, ' '), w -> $wh)").as("__wh"))
+    // project to (id, text) BEFORE the fan-out exchange (guide §2.3), fan
+    // out AFTER the scan (guide §2.5): the word/shingle folds below are the
+    // expensive per-row work, and on a one-split input they would otherwise
+    // run on a single core
+    fanOutSmall(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), expr(s"transform(split($textCol, ' '), w -> $wh)").as("__wh"))
       .select(col(idCol), array_distinct(expr(sh)).as("__arr"))
   }
 
@@ -239,6 +282,10 @@ object Dedup {
       struct(lit(b).as("band"),
         expr(s"($phashCol >> ${b * 16}) & 65535").as("bandkey"))
     }
+    // fanOutSmall was tried here in r6 and REJECTED with measurements: the
+    // warm banding map work is ~0.3 s single-task at bench scale, below the
+    // per-task fan-out overhead (q_phash_neardup 1.09 -> 1.78-1.94 s warm);
+    // the pair join below already parallelizes across band buckets.
     val keyed = df.select(col(idCol), col(phashCol),
       explode(array(bands: _*)).as("bb"))
       .select(col(idCol), col(phashCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
@@ -418,7 +465,10 @@ object Dedup {
     val norm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
     val unit = transform(v, x => x.cast("double") / col("__norm"))
     // all L*b plane signs in ONE codegen pass over the vector (SignBands);
-    // posexplode emits the (table, key) rows the self-join groups on
+    // posexplode emits the (table, key) rows the self-join groups on.
+    // (fanOutSmall before the derivation was tried in r6 and REJECTED with
+    // measurements: warm map work ~0.4 s single-task at bench scale, below
+    // the per-task fan-out overhead — q_embed_neardup 0.78 -> 1.33 s warm.)
     val keyed = df.select(col(idCol), v,
       graft.functions.VectorOps.signBands(v, tables, rowsPerBand).as("__keys"))
       .withColumn("__norm", norm)

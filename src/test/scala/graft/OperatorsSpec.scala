@@ -113,6 +113,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("fanOutSmall: parallelism floor on tiny inputs, no-op otherwise, results identical") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"w${i % 7} w${(i + 1) % 7} w${(i + 2) % 7} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text").coalesce(1)
+    val target = spark.sparkContext.defaultParallelism
+    // tiny one-partition input is fanned to the session default parallelism
+    assert(Dedup.fanOutSmall(docs, "doc_id").rdd.getNumPartitions == target)
+    // no-op past the byte threshold (the production-scale guard)
+    spark.conf.set("spark.graft.fanout.maxBytes", "0")
+    try assert(Dedup.fanOutSmall(docs, "doc_id").rdd.getNumPartitions == 1)
+    finally spark.conf.unset("spark.graft.fanout.maxBytes")
+    // no-op (same reference — no eager AQE stage materialization) when the
+    // plan already shuffles
+    val shuffled = docs.repartition(2, col("doc_id"))
+    assert(Dedup.fanOutSmall(shuffled, "doc_id") eq shuffled)
+    // operator results ride through the fan-out unchanged
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    def jac() = key(Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      k = 3, thresholdPct = 50, maxDf = 30))
+    val fanned = jac()
+    spark.conf.set("spark.graft.fanout.maxBytes", "0")
+    val unfanned = try jac() finally spark.conf.unset("spark.graft.fanout.maxBytes")
+    assert(fanned == unfanned && fanned.nonEmpty)
+  }
+
   test("reliable-checkpoint materialize path: results identical with a checkpoint dir set") {
     // VERDICT r5 #7: Dedup.materialize takes the reliable checkpoint()
     // branch only when the session has a checkpoint dir — exercise it and
