@@ -178,11 +178,15 @@ object Dedup {
     rare
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sz")))).as("ids"))
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), " +
-          "y -> named_struct('id_a', x.id, 'sz_a', x.sz, 'id_b', y.id, 'sz_b', y.sz))))")).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sz_a").as("sz_a"), col("p.sz_b").as("sz_b"))
+      // pair emission as two codegen'd Generate nodes instead of one nested
+      // interpreted-HOF transform (r6): explode each group element with its
+      // index, then explode the strictly-after slice against it — identical
+      // ordered pairs, but GenerateExec + Slice run in whole-stage codegen
+      // where the lambda transform chain fell back to interpreted eval.
+      .select(col("ids"), posexplode(col("ids")).as(Seq("__i", "__x")))
+      .select(col("__x"), explode(expr("slice(ids, __i + 2, size(ids))")).as("__y"))
+      .select(col("__x.id").as("id_a"), col("__y.id").as("id_b"),
+        col("__x.sz").as("sz_a"), col("__y.sz").as("sz_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("common"), min("sz_a").as("sz_a"), min("sz_b").as("sz_b"))
       .withColumn("union_sz", col("sz_a") + col("sz_b") - col("common"))
@@ -278,42 +282,56 @@ object Dedup {
     * 4 bands equal — the scalable alternative to O(n^2) hamming compare). */
   def phashNearDupPairs(df: DataFrame, idCol: String, phashCol: String,
                         maxDist: Int): DataFrame = {
+    // r6 restructure (guide §8 "decide with small rows"): band-join the
+    // DISTINCT fingerprint VALUES, not the rows. Identical-content images
+    // share a phash, so a hot band bucket of n rows but d distinct values
+    // costs O(d²) candidate compares instead of O(n²) — at bench scale the
+    // all-rows band 3 bucket drops from ~25M row pairs to ~0.5M value pairs
+    // (the caller's 1024-value fingerprint family), and at web scale the
+    // shape degenerates gracefully to the old one (d -> n). The hamming
+    // verdict is decided once per VALUE pair; ids re-attach afterwards by
+    // two small joins, so every id pair is still emitted exactly once.
+    //
+    // [[materialize]] the (id, ph) frame once: the value-distinct and both
+    // re-attach sides read it, and the caller's phash derivation can be
+    // expensive (q_phash_neardup derives it from a per-char document
+    // fingerprint — the r5 plan recomputed it per join side). Earlier r6
+    // shapes, kept for the record with measurements: materialize-once +
+    // row-level band self-join 1.16-1.18 s at sf0.1 (distinct before the
+    // hamming filter: 1.09-1.47); filter-before-distinct on the row-level
+    // join 1.05 s; a grouped HOF pair-emit (the jaccard shape) 10.7 s — a
+    // hot band bucket puts the whole O(bucket²) emission in ONE task of
+    // interpreted struct copying.
+    val ids = materialize(df.select(col(idCol).as("__id"), col(phashCol).cast("long").as("__ph")))
     val bands = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        expr(s"($phashCol >> ${b * 16}) & 65535").as("bandkey"))
+      struct(lit(b).as("band"), expr(s"(__ph >> ${b * 16}) & 65535").as("bandkey"))
     }
-    // fanOutSmall was tried here in r6 and REJECTED with measurements: the
-    // warm banding map work is ~0.3 s single-task at bench scale, below the
-    // per-task fan-out overhead (q_phash_neardup 1.09 -> 1.78-1.94 s warm);
-    // the pair join below already parallelizes across band buckets.
-    val keyed = df.select(col(idCol), col(phashCol),
-      explode(array(bands: _*)).as("bb"))
-      .select(col(idCol), col(phashCol), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
-    // r6: [[materialize]] the NARROW keyed frame once before the self-join.
-    // The r5 plan fed both join sides the raw input, so the phash derivation
-    // ran 4x (filter + project, per side) — when the caller derives the
-    // phash from an expensive expression (q_phash_neardup: a per-char
-    // document fingerprint) that recompute dominated the query. The
-    // checkpointed frame is (id, ph, band, bandkey) — 28 B/row, computed in
-    // one pass; both sides then read the materialized blocks. Pair
-    // formation stays a codegen'd hash/sort-merge join: a grouped
-    // pair-emit (the jaccard r5 shape) was tried and REJECTED here — with
-    // no df-style cap a hot band bucket (q_phash_neardup's band 3 holds
-    // every row) put the whole O(bucket^2) emission in ONE task of
-    // interpreted nested-HOF struct copying, measured 10.7 s vs the join's
-    // sub-second parallel probe. (A checkpoint-free merge-hinted self-join
-    // sharing one explicit repartition was also tried in r6: statistically a
-    // wash here — 1.16 vs 1.18 s at sf0.1 — and the planner materialized
-    // BOTH subtrees rather than reusing the exchange, so the checkpoint's
-    // compute-once guarantee is kept.)
-    val keyedM = materialize(keyed)
-    val l = keyedM.select(col(idCol).as("id_a"), col(phashCol).as("ph_a"), col("band"), col("bandkey"))
-    val r = keyedM.select(col(idCol).as("id_b"), col(phashCol).as("ph_b"), col("band"), col("bandkey"))
-    l.join(r, Seq("band", "bandkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("ph_a"), col("ph_b")).distinct()
+    val keyed = ids.select(col("__ph"), explode(array(bands: _*)).as("bb"))
+      .select(col("__ph"), col("bb.band").as("band"), col("bb.bandkey").as("bandkey"))
+      .distinct()
+    val l = keyed.select(col("__ph").as("ph_a"), col("band"), col("bandkey"))
+    val r = keyed.select(col("__ph").as("ph_b"), col("band"), col("bandkey"))
+    // <= not <: the equal-value "pair" carries the within-group id pairs
+    // (exact duplicates, dist 0). bit_count runs INSIDE the join stage, so
+    // the distinct's exchange only carries true near VALUE pairs
+    // (guide §2.3: aggregate before you shuffle).
+    val nearPh = l.join(r, Seq("band", "bandkey"))
+      .filter(col("ph_a") <= col("ph_b"))
       .withColumn("dist", expr("bit_count(ph_a ^ ph_b)"))
       .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select(col("ph_a"), col("ph_b"), col("dist")).distinct()
+    // re-attach ids: each unordered value pair appears once, so each id
+    // pair is produced exactly once — (least, greatest) normalizes the
+    // cross pairs, and equal-value groups keep only __ia < __ib.
+    val a = ids.select(col("__id").as("__ia"), col("__ph").as("ph_a"))
+    val b = ids.select(col("__id").as("__ib"), col("__ph").as("ph_b"))
+    nearPh.join(a, Seq("ph_a")).join(b, Seq("ph_b"))
+      .filter(col("ph_a") =!= col("ph_b") || col("__ia") < col("__ib"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"), col("dist"))
+      // O(result) exchange: keeps the historical duplicate-row robustness
+      // (a non-unique id would otherwise emit its pair once per occurrence)
+      .distinct()
   }
 
   /** Embedding cosine near-dup pairs above simThreshold, restricted to LSH
