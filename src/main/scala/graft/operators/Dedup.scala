@@ -77,36 +77,25 @@ object Dedup {
     * array column lets per-document reductions (minhash mins, simhash bit
     * sums, the jaccard set size) run as per-row folds in the scan stage —
     * zero exchanges — instead of explode + shuffle + re-aggregate.
-    * Shingle hash = fold of (a*31 + wordHash) mod P over the k words.
-    *
-    * Words are hashed ONCE into an array column first; the shingle fold then
-    * slices the hash array. Folding over `slice(split(text),...)` directly
-    * would re-split the text per shingle inside the lambda (no CSE across
-    * higher-order boundaries) — O(words²) string work per document, which
-    * dominated this operator's runtime. Same values either way, so the
-    * oracle is unchanged. (The two-step projection also matters: `__wh` and
-    * `__arr` are expensive aliases referenced more than once downstream, so
-    * CollapseProject keeps each in its own Project — evaluated once per row,
-    * never inlined per consumer.) */
-  def shingleArray(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
-    val wh = TextAnalysis.wordHashSqlSpark("w")
-    // guard: sequence(1, 0) would be DESCENDING in Spark, so emit an empty
-    // array for documents shorter than k words
-    val sh =
-      s"""case when size(__wh) >= $k then
-         |  transform(
-         |    sequence(1, size(__wh) - ${k - 1}),
-         |    i -> aggregate(slice(__wh, i, $k),
-         |           cast(0 as bigint), (a, x) -> (a * 31 + x) % $P))
-         |else cast(array() as array<bigint>) end""".stripMargin
-    // project to (id, text) BEFORE the fan-out exchange (guide §2.3), fan
-    // out AFTER the scan (guide §2.5): the word/shingle folds below are the
-    // expensive per-row work, and on a one-split input they would otherwise
-    // run on a single core
+    * Shingle hash = fold of (a*31 + wordHash) mod P over the k words; the
+    * exact value contract (split/ascii edge cases included) lives on
+    * [[graft.functions.ShingleHashes]], which computes it natively in
+    * whole-stage codegen. */
+  def shingleArray(df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame =
+    // native one-pass codegen expression (r6): the old SQL chain
+    // (split -> per-char transform/aggregate -> windowed slice folds ->
+    // array_distinct) ran ~5 interpreted lambda frames per CHARACTER —
+    // higher-order functions are CodegenFallback — and profiled as the
+    // single largest per-row cost on the query surface. ShingleHashes
+    // computes the identical value (parity pinned by OperatorsSpec,
+    // including unicode and empty-word edges) in one pass over the UTF-8
+    // bytes inside whole-stage codegen. fanOutSmall still precedes it
+    // (guide §2.5): the fold is ~20x cheaper now but a one-split scan
+    // still serializes it, and the fan-out's doc_id partitioning feeds the
+    // signature/simhash aggregations for free.
     fanOutSmall(df.select(col(idCol), col(textCol)), idCol)
-      .select(col(idCol), expr(s"transform(split($textCol, ' '), w -> $wh)").as("__wh"))
-      .select(col(idCol), array_distinct(expr(sh)).as("__arr"))
-  }
+      .select(col(idCol),
+        graft.functions.TextHash.shingleHashArray(col(textCol), k).as("__arr"))
 
   /** (id, shingle_hash) pairs — distinct word-k-gram hashes per document
     * (the exploded form of [[shingleArray]]).

@@ -113,6 +113,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("ShingleHashes: native expression is value-identical to the SQL higher-order chain") {
+    import graft.functions.{TextAnalysis, TextHash}
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "  ", "a", "ab", "a b", "a b c", "a b c d e",
+      "hello world foo bar baz", "héllo wörld çavá encore une fois",
+      "中文 字 符 测 试", "emoji 😀 test done ok",
+      "a  b   c d", " leading and trailing mix ", "trailing space ends here ",
+      "tab\tstays one-word here x y", "repeat repeat repeat repeat repeat repeat"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      // the pre-r6 SQL chain, verbatim (the value contract's reference)
+      val wh = TextAnalysis.wordHashSqlSpark("w")
+      val sh =
+        s"""case when size(__wh) >= $k then
+           |  transform(
+           |    sequence(1, size(__wh) - ${k - 1}),
+           |    i -> aggregate(slice(__wh, i, $k),
+           |           cast(0 as bigint), (a, x) -> (a * 31 + x) % ${TextAnalysis.P}))
+           |else cast(array() as array<bigint>) end""".stripMargin
+      val want = df
+        .select(col("doc_id"), expr(s"transform(split(text, ' '), w -> $wh)").as("__wh"))
+        .select(col("doc_id"), array_distinct(expr(sh)).as("arr"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toList)
+      val got = df
+        .select(col("doc_id"), TextHash.shingleHashArray(col("text"), k).as("arr"))
+        .orderBy("doc_id").collect().map(_.getSeq[Long](1).toList)
+      assert(got.toSeq == want.toSeq, s"k=$k mismatch")
+    }
+  }
+
   test("fanOutSmall: parallelism floor on tiny inputs, no-op otherwise, results identical") {
     import spark.implicits._
     val docs = (0L until 60L)
