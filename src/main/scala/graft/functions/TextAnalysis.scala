@@ -34,7 +34,10 @@ object TextAnalysis {
     s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($textCol, ' '), w -> ${wordHashSqlDuck("w")})), " +
       s"(a, x) -> (a * 131 + x) % $P)"
 
-  def fingerprint(textColName: String): Column = expr(fingerprintSqlSpark(textColName))
+  /** Native codegen form of [[fingerprintSqlSpark]] (value-identical —
+    * parity pinned by OperatorsSpec; the SQL chain interprets ~5 lambda
+    * frames per character, see [[TextHash]]). */
+  def fingerprint(textColName: String): Column = TextHash.fingerprintCol(col(textColName))
 
   /** Whitespace token count. */
   def tokenCount(textCol: Column): Column = size(split(textCol, " "))

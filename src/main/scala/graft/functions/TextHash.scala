@@ -61,6 +61,33 @@ case class ShingleHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native ordered document fingerprint — fold of (a*131 + wordHash) mod P
+  * over the word sequence, the [[TextAnalysis.fingerprintSqlSpark]] value
+  * computed in one codegen pass over the UTF-8 bytes (same motivation and
+  * parity pinning as [[ShingleHashes]]; q_phash_neardup derives its phash
+  * from this per-char fold inside its timed materialization). */
+case class Fingerprint(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"doc_fingerprint needs a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+
+  override def nullSafeEval(s: Any): Any =
+    TextHash.fingerprint(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.TextHash.fingerprint($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+    copy(child = newChild)
+}
+
 object TextHash {
   final val P = 1000000007L
 
@@ -114,7 +141,44 @@ object TextHash {
     new GenericArrayData(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** Ordered document fingerprint: fold of (a*131 + wordHash) % P over the
+    * words of `text` (split on single spaces, Java limit -1 — identical
+    * word/code-point semantics to [[shingleHashes]]). */
+  def fingerprint(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var fp = 0L
+    var h = 0L
+    var i = 0
+    while (i <= n) {
+      if (i == n || bytes(i) == 0x20) {
+        fp = (fp * 131 + h) % P
+        h = 0L
+        i += 1
+      } else {
+        val b0 = bytes(i) & 0xFF
+        var cp = 0
+        if (b0 < 0x80) { cp = b0; i += 1 }
+        else if (b0 < 0xE0) {
+          cp = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
+        } else if (b0 < 0xF0) {
+          cp = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
+            (bytes(i + 2) & 0x3F); i += 3
+        } else {
+          cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
+            ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+        }
+        h = (h * 31 + cp) % P
+      }
+    }
+    fp
+  }
+
   /** Codegen'd distinct word-k-gram hash array of a text column. */
   def shingleHashArray(text: Column, k: Int): Column =
     GraftInternals.toColumn(ShingleHashes(GraftInternals.toExpr(text), k))
+
+  /** Codegen'd ordered document fingerprint of a text column. */
+  def fingerprintCol(text: Column): Column =
+    GraftInternals.toColumn(Fingerprint(GraftInternals.toExpr(text)))
 }

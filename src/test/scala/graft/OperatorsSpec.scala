@@ -143,6 +143,13 @@ class OperatorsSpec extends AnyFunSuite {
         .orderBy("doc_id").collect().map(_.getSeq[Long](1).toList)
       assert(got.toSeq == want.toSeq, s"k=$k mismatch")
     }
+    // doc fingerprint: native vs the SQL chain, same edge corpus
+    val wantFp = df.select(col("doc_id"),
+      expr(TextAnalysis.fingerprintSqlSpark("text")).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    val gotFp = df.select(col("doc_id"), TextHash.fingerprintCol(col("text")).as("fp"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(gotFp.toSeq == wantFp.toSeq, "fingerprint mismatch")
   }
 
   test("fanOutSmall: parallelism floor on tiny inputs, no-op otherwise, results identical") {
